@@ -1,0 +1,75 @@
+"""spark-submit entry for the KG construction job (north rule).
+
+Cluster usage (the --py-files path the north rule requires):
+
+    zip -r kgforge.zip kgforge/
+    spark-submit --py-files kgforge.zip kgforge/jobs/run_kg.py \
+        --input  s3://.../source_files/   (or --synth N for the seeded corpus)
+        --output s3://.../kg/
+        --parts 4096
+
+Local sandbox:
+
+    python -m kgforge.jobs.run_kg --synth 5000 --output /tmp/kg --parts 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from kgforge.pipeline import run_kg
+from kgforge.session import get_spark
+from kgforge.synth import synth_source_files
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="kgforge KG construction job")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet dir of source_files(repo,path,commit,lang,content)")
+    src.add_argument("--synth", type=int, help="generate N seeded synthetic source files")
+    ap.add_argument("--output", required=True, help="output dir (mentions/ triples/ lineage/)")
+    ap.add_argument("--parts", type=int, default=64, help="partition count for materialize")
+    ap.add_argument("--master", default=None, help="override spark master (default local[$SPARK_GRAFT_CPUS])")
+    ap.add_argument("--no-resume", action="store_true", help="ignore existing lineage")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(master=args.master, app_name="kgforge-run-kg")
+    spark.sparkContext.setLogLevel("WARN")
+
+    source = (
+        spark.read.parquet(args.input)
+        if args.input
+        else synth_source_files(spark, args.synth)
+    )
+
+    t0 = time.time()
+    triples = run_kg(
+        spark, source, args.output, n_parts=args.parts, resume=not args.no_resume
+    )
+    n = triples.count()
+    dt = time.time() - t0
+    by_pred = {
+        r["pred"]: r["count"]
+        for r in triples.groupBy("pred").count().collect()
+    }
+    print(
+        json.dumps(
+            {
+                "triples": n,
+                "by_pred": by_pred,
+                "seconds": round(dt, 2),
+                "triples_per_sec": round(n / dt, 1),
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

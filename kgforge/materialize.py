@@ -1,0 +1,39 @@
+"""Partitioned triple-table materialize (north rule: final deduplicated graph).
+
+Parquet stands in for Iceberg in the sandbox (same layout discipline:
+partition column + dynamic partition overwrite == Iceberg's
+overwrite-by-partition snapshot commit; swap ``format('iceberg')`` in on a
+real cluster). Dynamic overwrite keeps per-partition writes idempotent —
+re-running a partition replaces exactly that partition, which is what makes
+kill/resume byte-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_PARTS = 64
+
+
+def with_part_id(df: DataFrame, key_cols: list[str], n_parts: int = DEFAULT_PARTS) -> DataFrame:
+    """Deterministic partition id: pmod(xxhash64(keys), n).
+
+    Hashing (repo, path) rather than repo alone is the mega-repo salting
+    strategy (FIXTURES.md skew fixture): a repo holding 30% of all rows
+    spreads uniformly instead of pinning one straggler task.
+    """
+    return df.withColumn(
+        "part_id",
+        F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_parts)).cast("int"),
+    )
+
+
+def write_partitioned(df: DataFrame, path: str, part_col: str = "part_id") -> None:
+    """Dynamic-partition-overwrite write: only touched partitions replaced."""
+    (
+        df.write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(path)
+    )

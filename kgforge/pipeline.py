@@ -1,0 +1,139 @@
+"""End-to-end KG construction job (north rule orchestration).
+
+Two phases, mirroring where resume matters at 10^12-file scale:
+
+Phase 1 — **extraction** (embarrassingly parallel, no shuffle, resumable
+per partition): source_files -> clean -> batched mention extraction ->
+mention table partitioned by pmod(xxhash64(repo, path), N) with lineage
+rows. A killed run resumes via left_anti against committed lineage; every
+step is deterministic so the resumed table is fingerprint-identical.
+
+Phase 2 — **graph** (global): mention linking (MinHash-LSH blocks +
+token-sort scoring) -> iterative connected components -> canonical
+surfaces -> (subj, pred, obj) triples -> global dedup -> partitioned
+materialize + graph lineage.
+
+Entry point for spark-submit: ``python -m kgforge.jobs.run_kg``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge import canon, link, lineage, materialize
+from kgforge.extract import extract_mentions, with_clean, with_norm_surface
+from kgforge.triples import mentions_to_triples
+
+STAGE_MENTIONS = "mentions"
+STAGE_TRIPLES = "triples"
+
+MENTION_CONTENT_COLS = [
+    "repo", "path", "commit", "entity_type", "surface", "start", "end",
+]
+TRIPLE_CONTENT_COLS = ["subj", "pred", "obj"]
+
+
+@dataclass
+class KGPaths:
+    mentions: str
+    triples: str
+    lineage: str
+
+
+def mention_id_expr() -> F.Column:
+    """Deterministic mention id (never monotonically_increasing_id — must be
+    identical at any parallelism, SURVEY.md §7.4 risk 5)."""
+    return F.xxhash64("repo", "path", "commit", "entity_type", "surface", "start", "end")
+
+
+def run_extraction(
+    spark: SparkSession,
+    source_files: DataFrame,
+    paths: KGPaths,
+    n_parts: int = materialize.DEFAULT_PARTS,
+    resume: bool = True,
+) -> None:
+    """Phase 1: source_files -> partitioned mention table + lineage."""
+    t0 = time.time()
+    files = materialize.with_part_id(
+        with_clean(source_files), ["repo", "path"], n_parts
+    )
+    if resume:
+        done = lineage.completed_parts(spark, paths.lineage, STAGE_MENTIONS)
+        files = lineage.filter_pending(files, done)
+    # Partition universe BEFORE extraction: a partition with zero mentions
+    # still gets a lineage row (FIXTURES.md §6 edge case).
+    parts_present = files.select("part_id").distinct()
+
+    mentions = extract_mentions(files)
+    mentions = materialize.with_part_id(mentions, ["repo", "path"], n_parts)
+    mentions = with_norm_surface(mentions).withColumn("mention_id", mention_id_expr())
+
+    materialize.write_partitioned(mentions, paths.mentions)
+
+    written = spark.read.parquet(paths.mentions).join(
+        F.broadcast(parts_present), "part_id"
+    )
+    rows = lineage.lineage_rows(written, STAGE_MENTIONS, MENTION_CONTENT_COLS)
+    # zero-mention partitions: emit count-0 rows via anti-join
+    empty = (
+        parts_present.join(rows.select("part_id"), "part_id", "left_anti")
+        .select(
+            F.lit(STAGE_MENTIONS).alias("stage"),
+            F.col("part_id").cast("int"),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.lit("0" * 16).alias("fingerprint"),
+            F.lit(int(t0 * 1000)).alias("wall_ms"),
+        )
+    )
+    lineage.append_lineage(rows.unionByName(empty), paths.lineage)
+
+
+def run_graph(
+    spark: SparkSession,
+    paths: KGPaths,
+    n_parts: int = materialize.DEFAULT_PARTS,
+    link_threshold: float = link.DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Phase 2: mentions -> linked/canonicalized deduplicated triple table."""
+    mentions = spark.read.parquet(paths.mentions)
+
+    keyed = mentions.select(
+        "mention_id", "repo", "path", "commit", "entity_type",
+        "surface", "norm_surface", "start", "end",
+    )
+    edges = link.link_mentions(keyed, threshold=link_threshold)
+    assign = canon.connected_components(keyed.select("mention_id"), edges)
+    canonical = canon.canonical_surfaces(assign, keyed)
+
+    triples = mentions_to_triples(canonical, surface_col="canon_surface")
+    triples = materialize.with_part_id(triples, ["subj", "pred", "obj"], n_parts)
+
+    materialize.write_partitioned(triples, paths.triples)
+    written = spark.read.parquet(paths.triples)
+    lineage.append_lineage(
+        lineage.lineage_rows(written, STAGE_TRIPLES, TRIPLE_CONTENT_COLS),
+        paths.lineage,
+    )
+    return written
+
+
+def run_kg(
+    spark: SparkSession,
+    source_files: DataFrame,
+    out_dir: str,
+    n_parts: int = materialize.DEFAULT_PARTS,
+    resume: bool = True,
+) -> DataFrame:
+    """Full pipeline; returns the materialized triple table."""
+    paths = KGPaths(
+        mentions=f"{out_dir}/mentions",
+        triples=f"{out_dir}/triples",
+        lineage=f"{out_dir}/lineage",
+    )
+    run_extraction(spark, source_files, paths, n_parts, resume)
+    return run_graph(spark, paths, n_parts)

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the kgforge workload.
+
+Scale notes (100 TB / 1000-executor design intent):
+- AQE on: runtime coalescing, skew-join splitting, join-strategy re-plan.
+- Arrow on: every pandas UDF crosses the JVM/Python boundary in columnar
+  batches (the CIDR'22 vectorized-UDF pattern), never row-at-a-time.
+- shuffle.partitions is a local-mode default; on a real cluster this is
+  set per-job (~2-3x total cores) or left to AQE's coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "kgforge",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with kgforge defaults."""
+    master = master or f"local[{DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("KGFORGE_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    """Stop the active session (used by the two-parallelism scaling bench)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

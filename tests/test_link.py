@@ -1,0 +1,66 @@
+"""Entity linking: blocking recall, scoring, hot-block salting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgforge.link import (
+    candidate_pairs,
+    link_mentions,
+    token_sort_ratio,
+    DEFAULT_THRESHOLD,
+)
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "mention_id long, entity_type string, norm_surface string",
+    )
+
+
+def test_token_sort_ratio():
+    assert token_sort_ratio("red shoes", "shoes red") == 1.0
+    assert token_sort_ratio("abc", "abc") == 1.0
+    assert token_sort_ratio("abc", "xyz") < 0.5
+    assert 0.8 < token_sort_ratio("nike shoes", "nike shoe") < 1.0
+
+
+def test_near_duplicates_linked(spark):
+    rows = [
+        ("PRODUCT", "nike air max"),
+        ("PRODUCT", "nike air  max"),   # ws variant (normalized upstream, sim=1 here after sort)
+        ("PRODUCT", "air max nike"),    # word order
+        ("PRODUCT", "completely different thing"),
+        ("PRICE", "nike air max"),      # same surface, different type: never linked
+    ]
+    edges = link_mentions(_mentions(spark, rows)).collect()
+    linked = {(e.src, e.dst) for e in edges}
+    assert (0, 2) in linked
+    assert all(3 not in (a, b) for a, b in linked)
+    assert all(4 not in (a, b) for a, b in linked)
+
+
+def test_exact_duplicates_always_pair(spark):
+    rows = [("LOC", "addis abeba")] * 3 + [("LOC", "gondar")]
+    edges = link_mentions(_mentions(spark, rows)).collect()
+    linked = {(e.src, e.dst) for e in edges}
+    assert {(0, 1), (0, 2), (1, 2)} <= linked
+
+
+def test_hot_block_salting_bounds_pairs_but_keeps_exact(spark):
+    # one hot surface in 40 mentions: salted blocks may split it, but the
+    # exact-key path must still produce all pairs
+    rows = [("PRODUCT", "hot item")] * 40
+    pairs = candidate_pairs(
+        _mentions(spark, rows), max_block=10
+    )
+    assert pairs.count() == 40 * 39 // 2
+
+
+def test_blocking_is_deterministic(spark):
+    rows = [("PRODUCT", f"item variant {i % 5}") for i in range(30)]
+    df = _mentions(spark, rows)
+    a = sorted((r.src, r.dst) for r in candidate_pairs(df).collect())
+    b = sorted((r.src, r.dst) for r in candidate_pairs(df).collect())
+    assert a == b

@@ -1,0 +1,115 @@
+"""End-to-end pipeline: triples, lineage, kill/resume byte-identity."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge import lineage as lin
+from kgforge.pipeline import (
+    KGPaths,
+    STAGE_MENTIONS,
+    run_extraction,
+    run_graph,
+    run_kg,
+)
+from kgforge.schemas import PRED_DECLARES, PRED_HAS_ATTR
+from kgforge.synth import synth_source_files
+
+N = 250
+PARTS = 8
+
+
+@pytest.fixture()
+def outdir(tmp_path):
+    return str(tmp_path / "kg")
+
+
+def _paths(outdir):
+    return KGPaths(
+        mentions=f"{outdir}/mentions",
+        triples=f"{outdir}/triples",
+        lineage=f"{outdir}/lineage",
+    )
+
+
+def _triple_set(df):
+    return {(r.subj, r.pred, r.obj) for r in df.select("subj", "pred", "obj").collect()}
+
+
+def test_full_pipeline_shapes(spark, outdir):
+    triples = run_kg(spark, synth_source_files(spark, N), outdir, n_parts=PARTS)
+    preds = {r.pred for r in triples.select("pred").distinct().collect()}
+    assert preds == {PRED_DECLARES, PRED_HAS_ATTR}
+    # dedup: (subj,pred,obj) unique
+    total = triples.count()
+    assert triples.select("subj", "pred", "obj").distinct().count() == total
+    # lineage rows exist for both stages and every partition
+    ldf = spark.read.parquet(f"{outdir}/lineage")
+    stages = {r.stage for r in ldf.select("stage").distinct().collect()}
+    assert stages == {"mentions", "triples"}
+    assert ldf.filter(F.col("stage") == "mentions").count() == PARTS
+
+
+def test_resume_is_byte_identical(spark, outdir, tmp_path):
+    """Kill-after-k-partitions resume (north rule): a run over only part of
+    the input, resumed over the rest, must equal a clean full run —
+    fingerprints and triple sets both."""
+    src = synth_source_files(spark, N)
+    paths = _paths(outdir)
+
+    # simulated partial run: only partitions 0-2 worth of input survive the
+    # "kill" (we filter the input; lineage marks those partitions done)
+    from kgforge.materialize import with_part_id
+    from kgforge.extract import with_clean
+
+    partial = with_part_id(with_clean(src), ["repo", "path"], PARTS).filter(
+        F.col("part_id") < 3
+    ).select("repo", "path", "commit", "lang", "content")
+    run_extraction(spark, partial, paths, n_parts=PARTS, resume=True)
+    done = lin.completed_parts(spark, paths.lineage, STAGE_MENTIONS)
+    assert done.count() == 3
+
+    # resume with the FULL input: anti-join must skip the 3 done partitions
+    run_extraction(spark, src, paths, n_parts=PARTS, resume=True)
+    assert lin.completed_parts(spark, paths.lineage, STAGE_MENTIONS).count() == PARTS
+    resumed = run_graph(spark, paths, n_parts=PARTS)
+
+    # clean reference run
+    clean_dir = str(tmp_path / "clean")
+    reference = run_kg(spark, src, clean_dir, n_parts=PARTS)
+
+    assert _triple_set(resumed) == _triple_set(reference)
+    fp_a = {
+        (r.stage, r.part_id, r.n_rows, r.fingerprint)
+        for r in spark.read.parquet(f"{outdir}/lineage").collect()
+    }
+    fp_b = {
+        (r.stage, r.part_id, r.n_rows, r.fingerprint)
+        for r in spark.read.parquet(f"{clean_dir}/lineage").collect()
+    }
+    assert fp_a == fp_b
+
+
+def test_rerun_extraction_is_idempotent(spark, outdir):
+    src = synth_source_files(spark, 120)
+    paths = _paths(outdir)
+    run_extraction(spark, src, paths, n_parts=PARTS)
+    before = spark.read.parquet(paths.mentions).count()
+    # second run: everything committed -> no new partitions, no duplication
+    run_extraction(spark, src, paths, n_parts=PARTS)
+    after = spark.read.parquet(paths.mentions).count()
+    assert before == after
+    ldf = spark.read.parquet(paths.lineage).filter(F.col("stage") == "mentions")
+    assert ldf.groupBy("part_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_parallelism_determinism_of_triples(spark, outdir, tmp_path):
+    """Same triples at different shuffle widths (8-vs-32-core stand-in)."""
+    src = synth_source_files(spark, 150, partitions=3)
+    a = run_kg(spark, src, outdir, n_parts=4)
+    src2 = synth_source_files(spark, 150, partitions=13)
+    b = run_kg(spark, src2, str(tmp_path / "b"), n_parts=4)
+    assert _triple_set(a) == _triple_set(b)

@@ -44,6 +44,15 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # Convergence detection: min-propagation only ever DECREASES component
+    # ids, so the exact decimal sum of ids is a fixpoint witness — one
+    # scan-agg per iteration instead of a shuffle join + count.
+    def _sum_ids(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _sum_ids(assign)
     for _ in range(max_iters):
         # neighbor's current component, pushed across each edge
         nbr = (
@@ -56,16 +65,11 @@ def connected_components(
             .agg(F.min("component_id").alias("component_id"))
         ).localCheckpoint(eager=True)
 
-        changed = (
-            new_assign.alias("n")
-            .join(assign.alias("o"), "mention_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _sum_ids(new_assign)
         assign = new_assign
-        if changed == 0:
+        if new_sum == prev_sum:
             return assign
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components did not converge in {max_iters} iters")
 
 

@@ -66,24 +66,19 @@ def _mentions_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     model = get_model()
     token_lists = [str(t).split(" ") if t else [] for t in pdf["clean_content"]]
     tag_lists = model.predict_tags(token_lists)
-    rows: list[dict] = []
-    for (_, row), tokens, raw_tags in zip(pdf.iterrows(), token_lists, tag_lists):
+    rows: list[tuple] = []
+    for repo, path, commit, tokens, raw_tags in zip(
+        pdf["repo"].values,
+        pdf["path"].values,
+        pdf["commit"].values,
+        token_lists,
+        tag_lists,
+    ):
         tags = fix_entity_tags(tokens, raw_tags)
         if not validate_sentence(tokens, tags):
             continue
         for etype, start, end, surface in decode_spans(tokens, tags):
-            rows.append(
-                {
-                    "repo": row["repo"],
-                    "path": row["path"],
-                    "commit": row["commit"],
-                    "entity_type": etype,
-                    "surface": surface,
-                    "start": start,
-                    "end": end,
-                    "score": 1.0,
-                }
-            )
+            rows.append((repo, path, commit, etype, surface, start, end, 1.0))
     return pd.DataFrame(rows, columns=[f.name for f in MENTIONS.fields])
 
 

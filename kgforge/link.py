@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-DEFAULT_BANDS = 4
+DEFAULT_BANDS = 8
+ROWS_PER_BAND = 2  # AND-combine r min-hashes per band; OR across bands
 DEFAULT_SHINGLE = 3
 DEFAULT_THRESHOLD = 0.82
 DEFAULT_MAX_BLOCK = 200
@@ -73,17 +74,30 @@ def minhash_blocks(
     mentions: DataFrame,
     bands: int = DEFAULT_BANDS,
     shingle: int = DEFAULT_SHINGLE,
+    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """(mention_id, entity_type, norm_surface) -> one row per (band, sig)."""
+    """(mention_id, entity_type, norm_surface) -> one row per (band, sig).
+
+    Classic banded MinHash-LSH: each band's signature is the AND-combination
+    (hash) of ``rows_per_band`` independent min-hashes, so the per-band
+    collision probability is J^r instead of J — without the AND step, a
+    ubiquitous shingle (every PRICE surface contains 'ብር') owns the min for
+    thousands of surfaces and a single band degenerates into one giant block
+    (observed: a 6.5k-surface block -> 2.2M candidate pairs at 20k files).
+    """
     sh = _shingles(F.col("norm_surface"), shingle)
     df = mentions.withColumn("_sh", sh)
     bands_arr = F.array(*[F.lit(i) for i in range(bands)])
     df = df.withColumn("band", F.explode(bands_arr))
-    sig = F.array_min(
-        F.transform(
-            F.col("_sh"), lambda s: F.xxhash64(F.col("band"), s)
-        )
-    )
+    def _minhash(r: int):
+        seed = F.col("band") * rows_per_band + r
+
+        def h(s):
+            return F.xxhash64(seed, s)
+
+        return F.array_min(F.transform(F.col("_sh"), h))
+
+    sig = F.xxhash64(*[_minhash(r) for r in range(rows_per_band)])
     return df.select(
         "mention_id", "entity_type", "norm_surface", "band", sig.alias("sig")
     )
@@ -94,6 +108,7 @@ def candidate_pairs(
     bands: int = DEFAULT_BANDS,
     shingle: int = DEFAULT_SHINGLE,
     max_block: int = DEFAULT_MAX_BLOCK,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Blocked candidate pairs (src < dst), deduplicated across bands.
 
@@ -128,6 +143,14 @@ def candidate_pairs(
         F.col("src") < F.col("dst")
     )
 
+    if assume_distinct:
+        # Input rows are already distinct (type, surface) forms — the
+        # pipeline's surface-level linking — so the exact-duplicate join
+        # would be a full-shuffle no-op; skip it.
+        return pairs.select("src", "dst", "surf_a", "surf_b").dropDuplicates(
+            ["src", "dst"]
+        )
+
     # Exact-duplicate fast path: same (type, surface) always pairs, immune to
     # band/salt splits.
     exact = (
@@ -154,9 +177,21 @@ def candidate_pairs(
 
 
 def score_edges(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
-    """Candidate pairs -> similarity edges above threshold (EDGES schema)."""
-    scored = pairs.withColumn(
-        "sim", token_sort_ratio_udf(F.col("surf_a"), F.col("surf_b"))
+    """Candidate pairs -> similarity edges above threshold (EDGES schema).
+
+    Cheap Catalyst pre-filter before the Python scorer: a ratio >= t needs
+    the length gap <= (1-t) * max(len) (Levenshtein >= |len(a)-len(b)|),
+    so most cross-length pairs never reach the pandas UDF.
+    """
+    la, lb = F.length("surf_a"), F.length("surf_b")
+    pruned = pairs.filter(
+        F.abs(la - lb) <= (1.0 - threshold) * F.greatest(la, lb)
+    )
+    scored = pruned.withColumn(
+        "sim",
+        F.when(F.col("surf_a") == F.col("surf_b"), F.lit(1.0)).otherwise(
+            token_sort_ratio_udf(F.col("surf_a"), F.col("surf_b"))
+        ),
     )
     return scored.filter(F.col("sim") >= threshold).select("src", "dst", "sim")
 
@@ -167,6 +202,7 @@ def link_mentions(
     shingle: int = DEFAULT_SHINGLE,
     threshold: float = DEFAULT_THRESHOLD,
     max_block: int = DEFAULT_MAX_BLOCK,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """MENTIONS_KEYED -> EDGES."""
     pairs = candidate_pairs(
@@ -174,5 +210,57 @@ def link_mentions(
         bands,
         shingle,
         max_block,
+        assume_distinct,
     )
     return score_edges(pairs, threshold)
+
+
+NUMERIC_TYPES = ("PRICE", "PHONE")
+
+
+def typed_link_surfaces(
+    surfaces: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    shingle: int = DEFAULT_SHINGLE,
+    threshold: float = DEFAULT_THRESHOLD,
+    max_block: int = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Typed blocking over distinct surface forms (the pipeline's linker).
+
+    PRICE/PHONE surfaces carry a canonical numeric value — two price
+    surfaces corefer iff their comma-stripped amounts are equal ("2,500 ብር"
+    == "2500 ብር"), NOT when their strings look alike ("1,234 ብር" vs
+    "9,234 ብር" must stay apart). Blocking them by exact value key is both
+    more correct than string LSH and removes the dominant hot block (every
+    price shares the 'ብር' suffix shingles; LSH alone produced ~1.2M
+    candidate pairs at 20k files, value-blocking ~none).
+
+    Textual types (PRODUCT/LOC/...) go through banded MinHash-LSH + scored
+    token-sort similarity as before.
+    """
+    numeric = surfaces.filter(F.col("entity_type").isin(*NUMERIC_TYPES))
+    textual = surfaces.filter(~F.col("entity_type").isin(*NUMERIC_TYPES))
+
+    # numeric: exact value-key blocks; all within-block pairs are edges
+    keyed = numeric.withColumn(
+        "vkey", F.regexp_replace(F.col("norm_surface"), "[^0-9.]", "")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    num_edges = (
+        a.join(
+            b,
+            (F.col("a.entity_type") == F.col("b.entity_type"))
+            & (F.col("a.vkey") == F.col("b.vkey"))
+            & (F.col("a.mention_id") < F.col("b.mention_id")),
+        )
+        .select(
+            F.col("a.mention_id").alias("src"),
+            F.col("b.mention_id").alias("dst"),
+            F.lit(1.0).alias("sim"),
+        )
+    )
+
+    text_edges = link_mentions(
+        textual, bands, shingle, threshold, max_block, assume_distinct=True
+    )
+    return num_edges.unionByName(text_edges)

@@ -66,8 +66,13 @@ def run_extraction(
         done = lineage.completed_parts(spark, paths.lineage, STAGE_MENTIONS)
         files = lineage.filter_pending(files, done)
     # Partition universe BEFORE extraction: a partition with zero mentions
-    # still gets a lineage row (FIXTURES.md §6 edge case).
-    parts_present = files.select("part_id").distinct()
+    # still gets a lineage row (FIXTURES.md §6 edge case). Collected once —
+    # it is at most n_parts ints — and reused for partition-pruned read-back.
+    part_ids = [
+        r.part_id for r in files.select("part_id").distinct().collect()
+    ]
+    if not part_ids:
+        return  # everything already committed
 
     mentions = extract_mentions(files)
     mentions = materialize.with_part_id(mentions, ["repo", "path"], n_parts)
@@ -75,13 +80,18 @@ def run_extraction(
 
     materialize.write_partitioned(mentions, paths.mentions)
 
-    written = spark.read.parquet(paths.mentions).join(
-        F.broadcast(parts_present), "part_id"
+    # read back ONLY the partitions this run wrote (partition pruning on the
+    # part_id directory column — no full-table scan on resume)
+    written = spark.read.parquet(paths.mentions).filter(
+        F.col("part_id").isin(part_ids)
     )
     rows = lineage.lineage_rows(written, STAGE_MENTIONS, MENTION_CONTENT_COLS)
     # zero-mention partitions: emit count-0 rows via anti-join
+    universe = spark.createDataFrame(
+        [(int(p),) for p in part_ids], "part_id int"
+    )
     empty = (
-        parts_present.join(rows.select("part_id"), "part_id", "left_anti")
+        universe.join(rows.select("part_id"), "part_id", "left_anti")
         .select(
             F.lit(STAGE_MENTIONS).alias("stage"),
             F.col("part_id").cast("int"),
@@ -99,17 +109,31 @@ def run_graph(
     n_parts: int = materialize.DEFAULT_PARTS,
     link_threshold: float = link.DEFAULT_THRESHOLD,
 ) -> DataFrame:
-    """Phase 2: mentions -> linked/canonicalized deduplicated triple table."""
+    """Phase 2: mentions -> linked/canonicalized deduplicated triple table.
+
+    Scale-critical design point: linking and connected components run over
+    DISTINCT (entity_type, norm_surface) forms, never mention instances.
+    A hot surface appearing in 10^9 mentions is one vertex, not 10^9 —
+    identical-surface pairs would otherwise blow up quadratically (observed:
+    8.7k mentions -> 1.6M edges before this collapse; ~2k after). Mentions
+    re-attach to their canonical surface by an equi-join on the surface key
+    at the end (AQE skew-join handles hot surface keys).
+    """
     mentions = spark.read.parquet(paths.mentions)
 
-    keyed = mentions.select(
-        "mention_id", "repo", "path", "commit", "entity_type",
-        "surface", "norm_surface", "start", "end",
+    # vertex set: distinct surface forms, deterministic id = min(mention_id)
+    surfaces = (
+        mentions.groupBy("entity_type", "norm_surface")
+        .agg(F.min("mention_id").alias("mention_id"))
+        .select("mention_id", "entity_type", "norm_surface")
     )
-    edges = link.link_mentions(keyed, threshold=link_threshold)
-    assign = canon.connected_components(keyed.select("mention_id"), edges)
-    canonical = canon.canonical_surfaces(assign, keyed)
+    edges = link.typed_link_surfaces(surfaces, threshold=link_threshold)
+    assign = canon.connected_components(surfaces.select("mention_id"), edges)
+    canon_map = canon.canonical_surfaces(assign, surfaces).select(
+        "entity_type", "norm_surface", "canon_surface"
+    )
 
+    canonical = mentions.join(canon_map, ["entity_type", "norm_surface"])
     triples = mentions_to_triples(canonical, surface_col="canon_surface")
     triples = materialize.with_part_id(triples, ["subj", "pred", "obj"], n_parts)
 

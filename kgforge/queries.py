@@ -1,0 +1,1103 @@
+"""Operator-library queries + DuckDB oracle SQL (driver correctness gate).
+
+One named query per implemented operator family from SURVEY.md §2, each a
+``(spark_fn, oracle_sql)`` pair over the driver's read-only parquet tables.
+Cross-engine determinism rules used throughout (see tools/check_oracles.py):
+
+- double SUMs go through decimal casts (exact, order-insensitive) and back
+  to double; AVG/STDDEV outputs are rounded symmetrically on both sides;
+- timestamps leave the query as formatted strings;
+- every top-k has a total tie-break order;
+- md5 (identical hex in both engines) is the portable hash for dedup /
+  MinHash / SimHash oracles; the scale path swaps xxhash64 in.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgforge import textops, vectorops
+
+
+@dataclass
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None -> driver runs rows-only check
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, scale: int = 2):
+    """Exact, order-insensitive SUM of a fixed-point double column -> double.
+
+    The testdata money/quantity columns are exact <=2-decimal values, so the
+    decimal cast is lossless in both engines and the sum is exact — immune
+    to float accumulation-order differences across engines/parallelism.
+    """
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _exact_stddev(col, scale: int = 2):
+    """Sample stddev via exact decimal sums (closed form) — deterministic
+    across engines, unlike streaming stddev accumulators."""
+    d = col.cast(f"decimal(18,{scale})")
+    n = F.count(col).cast("double")
+    sx = F.sum(d).cast("double")
+    sxx = F.sum(d * d).cast("double")
+    return F.when(
+        n > 1,
+        F.sqrt(F.greatest(F.lit(0.0), (sxx - sx * sx / n) / (n - F.lit(1.0)))),
+    ).otherwise(F.lit(None))
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY.md §2.2, §2.5-2.9)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(cast(l_quantity as decimal(18,2)))::double AS sum_qty,
+           sum(cast(l_extendedprice as decimal(18,2)))::double AS sum_base_price,
+           sum(cast(l_extendedprice as decimal(18,2))
+               * cast(1 - l_discount as decimal(18,2)))::double AS sum_disc_price,
+           round(sum(cast(l_quantity as decimal(18,2)))::double / count(*), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """Flagship (A3/A15 shape — partial+final hash agg, pushdown-friendly)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                _dec_sum(F.col("l_quantity")) / F.count("*"), 4
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q02_filter_project",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 1000 AND 50000
+    """,
+)
+def q02_filter_project(spark, sf_dir):
+    """P1-P3: predicate + projection (pushed to the parquet scan)."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O")
+        & F.col("o_totalprice").between(1000, 50000)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+@q(
+    "q03_top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) = 1
+    """,
+)
+def q03_top_order_per_customer(spark, sf_dir):
+    """A8: per-group arg-max via row_number window (top post semantics,
+    metrics_calculator.py:56)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.col("o_totalprice").alias("top_totalprice"),
+        )
+    )
+
+
+@q(
+    "q04_weekly_stats",
+    """
+    WITH weekly AS (
+        SELECT event_type,
+               strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, count(*) AS n_weeks, sum(n)::bigint AS n_events,
+           round(sum(n)::double / count(*), 4) AS avg_weekly,
+           round(CASE WHEN count(*) > 1 THEN
+               sqrt(greatest(0.0,
+                   (sum(n::double * n::double) - sum(n)::double * sum(n)::double / count(*))
+                   / (count(*) - 1.0)))
+             END, 4) AS stddev_weekly
+    FROM weekly GROUP BY event_type
+    """,
+)
+def q04_weekly_stats(spark, sf_dir):
+    """A6: two-level agg — weekly counts then mean/std
+    (metrics_calculator.py:36-44)."""
+    e = t(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+    ).agg(F.count("*").alias("n"))
+    n = F.count("*").cast("double")
+    sx = F.sum("n").cast("double")
+    sxx = F.sum(F.col("n").cast("double") * F.col("n").cast("double"))
+    return weekly.groupBy("event_type").agg(
+        F.count("*").alias("n_weeks"),
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("n").cast("double") / F.count("*"), 4).alias("avg_weekly"),
+        F.round(
+            F.when(
+                F.count("*") > 1,
+                F.sqrt(
+                    F.greatest(F.lit(0.0), (sxx - sx * sx / n) / (n - F.lit(1.0)))
+                ),
+            ),
+            4,
+        ).alias("stddev_weekly"),
+    )
+
+
+@q(
+    "q05_value_stats",
+    """
+    SELECT event_type,
+           round(sum(cast(nullif(value, 0) as decimal(18,2)))::double
+                 / count(nullif(value, 0)), 4) AS avg_value,
+           round(median(nullif(value, 0)), 4) AS median_value,
+           max(value) AS max_value, min(value) AS min_value,
+           round(CASE WHEN count(value) > 1 THEN
+               sqrt(greatest(0.0,
+                   (sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2)))::double
+                    - sum(cast(value as decimal(18,2)))::double
+                      * sum(cast(value as decimal(18,2)))::double / count(value))
+                   / (count(value) - 1.0)))
+             END, 3) AS stddev_value,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q05_value_stats(spark, sf_dir):
+    """A7: view-stats shape incl. 0->null and exact median
+    (metrics_calculator.py:46-57)."""
+    e = t(spark, sf_dir, "events")
+    nz = F.nullif(F.col("value"), F.lit(0))
+    return e.groupBy("event_type").agg(
+        F.round(_dec_sum(nz) / F.count(nz), 4).alias("avg_value"),
+        F.round(F.median(nz), 4).alias("median_value"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+        F.round(_exact_stddev(F.col("value")), 3).alias("stddev_value"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "q06_monthly_trend",
+    """
+    SELECT year(ts) AS y, month(ts) AS m,
+           round(sum(cast(value as decimal(18,2)))::double / count(value), 4) AS avg_value,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q06_monthly_trend(spark, sf_dir):
+    """A10: calendar-bucketed engagement trend (metrics_calculator.py:91-97)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(F.year("ts").alias("y"), F.month("ts").alias("m")).agg(
+        F.round(_dec_sum(F.col("value")) / F.count("value"), 4).alias("avg_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@q(
+    "q07_segment_revenue",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           sum(cast(o_totalprice as decimal(18,2)))::double AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q07_segment_revenue(spark, sf_dir):
+    """J2: broadcast hash join (small dim side explicitly broadcast)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "q08_region_rollup",
+    """
+    SELECT r_name, n_name, count(*) AS n_cust,
+           sum(cast(c_acctbal as decimal(18,2)))::double AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q08_region_rollup(spark, sf_dir):
+    """A15: grouping-sets/rollup over a two-hop dimension join."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_cust"),
+        _dec_sum(F.col("c_acctbal")).alias("total_bal"),
+    )
+
+
+@q(
+    "q09_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q09_distinct_users(spark, sf_dir):
+    """D1/A5: exact distinct (expand-style two-phase agg under AQE)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@q(
+    "q10_union_dedup",
+    """
+    SELECT count(*) AS n_rows, count(DISTINCT o_custkey) AS n_custs
+    FROM (SELECT DISTINCT * FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders))
+    """,
+)
+def q10_union_dedup(spark, sf_dir):
+    """D2+D4: union-all then exact dedup (the dedup the reference never did
+    despite hashing rows — telegram_scraper.py:310)."""
+    o = t(spark, sf_dir, "orders")
+    u = o.unionByName(o).dropDuplicates()
+    return u.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+@q(
+    "q11_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q11_topk_orders(spark, sf_dir):
+    """O3: top-k -> TakeOrderedAndProject (no global sort)."""
+    o = t(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(
+        10
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@q(
+    "q12_dateparts",
+    """
+    SELECT year(ts) AS y, weekofyear(ts) AS iso_week, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q12_dateparts(spark, sf_dir):
+    """F13: date-part derivation (year/ISO week, data_loader.py:50-55)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.year("ts").alias("y"), F.weekofyear("ts").alias("iso_week")
+    ).agg(F.count("*").alias("n"))
+
+
+@q(
+    "q13_customers_without_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q13_customers_without_orders(spark, sf_dir):
+    """left_anti join — the lineage-resume shape (SURVEY.md §2.6)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@q(
+    "q14_conditional_agg",
+    """
+    SELECT l_linestatus,
+           sum(cast(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END
+               as decimal(18,2)))::double AS returned_qty,
+           sum(cast(l_quantity as decimal(18,2)))::double AS total_qty,
+           round(sum(cast(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END
+                 as decimal(18,2)))::double
+                 / sum(cast(l_quantity as decimal(18,2)))::double, 4)
+               AS returned_share
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q14_conditional_agg(spark, sf_dir):
+    """A2: conditional sum(when(...)) consistency-agg shape
+    (data_pipeline.py:267-283)."""
+    li = t(spark, sf_dir, "lineitem")
+    returned = _dec_sum(
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(F.lit(0))
+    )
+    total = _dec_sum(F.col("l_quantity"))
+    return li.groupBy("l_linestatus").agg(
+        returned.alias("returned_qty"),
+        total.alias("total_qty"),
+        F.round(returned / total, 4).alias("returned_share"),
+    )
+
+
+@q(
+    "q15_argmax_month",
+    """
+    WITH m AS (
+        SELECT event_type, year(ts) AS y, month(ts) AS mo,
+               round(sum(cast(value as decimal(18,2)))::double / count(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, y AS best_year, mo AS best_month, avg_value AS best_avg
+    FROM m
+    QUALIFY row_number() OVER (
+        PARTITION BY event_type ORDER BY avg_value DESC, y, mo
+    ) = 1
+    """,
+)
+def q15_argmax_month(spark, sf_dir):
+    """O4: arg-max month (best/worst month, metrics_calculator.py:96-97)."""
+    e = t(spark, sf_dir, "events")
+    m = e.groupBy(
+        "event_type", F.year("ts").alias("y"), F.month("ts").alias("mo")
+    ).agg(
+        F.round(_dec_sum(F.col("value")) / F.count("value"), 4).alias("avg_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("avg_value").desc(), F.col("y"), F.col("mo")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("y").alias("best_year"),
+            F.col("mo").alias("best_month"),
+            F.col("avg_value").alias("best_avg"),
+        )
+    )
+
+
+@q(
+    "q16_lag_delta",
+    """
+    WITH d AS (
+        SELECT event_type,
+               cast(value as decimal(18,2)) - lag(cast(value as decimal(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS delta
+        FROM events
+    )
+    SELECT event_type,
+           round(sum(delta)::double / count(delta), 4) AS avg_delta,
+           count(delta) AS n_deltas
+    FROM d GROUP BY event_type
+    """,
+)
+def q16_lag_delta(spark, sf_dir):
+    """§2.9 lag/lead window (error-context / prev-tag shape,
+    interpret.py:1121-1127)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vdec = F.col("value").cast("decimal(18,2)")
+    d = e.withColumn("delta", vdec - F.lag(vdec).over(w))
+    return d.groupBy("event_type").agg(
+        F.round(F.sum("delta").cast("double") / F.count("delta"), 4).alias(
+            "avg_delta"
+        ),
+        F.count("delta").alias("n_deltas"),
+    )
+
+
+@q(
+    "q17_weighted_score",
+    """
+    WITH stats AS (
+        SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer
+    ), cnt AS (
+        SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey,
+           round(least(100.0,
+               0.4 * 100.0 * least(1.0, greatest(0.0, (c_acctbal - lo) / (hi - lo)))
+             + 0.6 * 100.0 * least(1.0, coalesce(n_orders, 0) / 20.0)
+           ), 4) AS lending_score
+    FROM (SELECT * FROM customer CROSS JOIN stats) c
+    LEFT JOIN cnt ON c_custkey = o_custkey
+    """,
+)
+def q17_weighted_score(spark, sf_dir):
+    """F18/F19: clamped min-max normalize + weighted lending score
+    (metrics_calculator.py:100-116, weights config/config.py:14-19)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    stats = c.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    cnt = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    j = c.crossJoin(F.broadcast(stats)).join(
+        F.broadcast(cnt), c["c_custkey"] == cnt["o_custkey"], "left"
+    )
+    bal_norm = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0), (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+        ),
+    )
+    ord_norm = F.least(F.lit(1.0), F.coalesce(F.col("n_orders"), F.lit(0)) / F.lit(20.0))
+    return j.select(
+        "c_custkey",
+        F.round(
+            F.least(F.lit(100.0), 0.4 * 100.0 * bal_norm + 0.6 * 100.0 * ord_norm), 4
+        ).alias("lending_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents: hashing, regex, tokens, dedup, quality, lang-id (§2.3, brief ops)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q18_sha256_buckets",
+    """
+    SELECT substring(sha256(text), 1, 1) AS bucket,
+           count(*) AS n, count(DISTINCT sha256(text)) AS n_distinct
+    FROM documents GROUP BY 1
+    """,
+)
+def q18_sha256_buckets(spark, sf_dir):
+    """F10: sha2(content,256) per-row invariant, bucketed
+    (telegram_scraper.py:151-155)."""
+    d = t(spark, sf_dir, "documents")
+    sha = F.sha2(F.col("text"), 256)
+    return d.groupBy(F.substring(sha, 1, 1).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("n_distinct"),
+    )
+
+
+@q(
+    "q19_regex_extract",
+    """
+    SELECT tok AS keyword, count(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(text, '(spark|join|hash|merge)', 1)) AS tok
+          FROM documents)
+    GROUP BY tok
+    """,
+)
+def q19_regex_extract(spark, sf_dir):
+    """F1-F3 shape: regexp_extract_all -> explode -> count (the entity
+    extraction triple, data_cleaner.py:70-79)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit("(spark|join|hash|merge)"), 1)
+    return (
+        d.select(F.explode(toks).alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q20_token_counts",
+    """
+    SELECT tok AS token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def q20_token_counts(spark, sf_dir):
+    """F14+A1: tokenize -> explode -> tag-distribution-style count
+    (data_pipeline.py:264-265)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@q(
+    "q21_exact_dedup",
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct_texts,
+           count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+    FROM documents
+    """,
+)
+def q21_exact_dedup(spark, sf_dir):
+    """Exact dedup via content hash (training-data pipeline op #1)."""
+    d = t(spark, sf_dir, "documents")
+    md = F.md5(F.col("text"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(md).alias("n_distinct_texts"),
+        (F.count("*") - F.countDistinct(md)).alias("n_dup_docs"),
+    )
+
+
+_SHINGLE_SQL = """
+        list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+            i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+        )
+"""
+
+
+@q(
+    "q22_minhash_lsh",
+    f"""
+    WITH sigs AS (
+        SELECT doc_id, b.band,
+               list_aggregate(
+                   list_transform({_SHINGLE_SQL},
+                                  s -> md5('b' || b.band || '|' || s)),
+                   'min') AS sig
+        FROM documents, (SELECT unnest([0, 1]) AS band) b
+    ), buckets AS (
+        SELECT band, sig, count(*) AS n FROM sigs GROUP BY band, sig
+    )
+    SELECT band, count(*) AS n_buckets,
+           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::bigint AS n_multi_buckets,
+           sum(n * (n - 1) / 2)::double AS n_candidate_pairs
+    FROM buckets GROUP BY band
+    """,
+)
+def q22_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup blocking: shingle -> banded min-hash ->
+    bucket stats (same structure as kgforge.link at scale)."""
+    d = t(spark, sf_dir, "documents")
+    sh = textops.word_shingles(F.col("text"), 3)
+    sigs = None
+    for band in (0, 1):
+        s = d.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            textops.minhash_band_sig(sh, band).alias("sig"),
+        )
+        sigs = s if sigs is None else sigs.unionByName(s)
+    buckets = sigs.groupBy("band", "sig").agg(F.count("*").alias("n"))
+    return buckets.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_multi_buckets"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("double").alias(
+            "n_candidate_pairs"
+        ),
+    )
+
+
+@q(
+    "q23_ngram_jaccard",
+    f"""
+    WITH sigs AS (
+        SELECT doc_id,
+               list_aggregate(
+                   list_transform({_SHINGLE_SQL}, s -> md5('b0|' || s)),
+                   'min') AS sig
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+    ), toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT p.a_id, p.b_id, count(*) AS i
+        FROM pairs p
+        JOIN toks ta ON ta.doc_id = p.a_id
+        JOIN toks tb ON tb.doc_id = p.b_id AND tb.tok = ta.tok
+        GROUP BY p.a_id, p.b_id
+    )
+    SELECT i.a_id, i.b_id,
+           round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_id
+    JOIN sizes sb ON sb.doc_id = i.b_id
+    """,
+)
+def q23_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup scoring over LSH-blocked pairs only
+    (never O(n^2) — the blocked-join scale shape)."""
+    d = t(spark, sf_dir, "documents")
+    sh = textops.word_shingles(F.col("text"), 3)
+    sigs = d.select(
+        "doc_id", textops.minhash_band_sig(sh, 0).alias("sig")
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.sig") == F.col("b.sig")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = toks.alias("ta")
+    tb = toks.alias("tb")
+    inter = (
+        pairs.join(ta, F.col("ta.doc_id") == F.col("a_id"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("b_id")) & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _simhash_sql() -> str:
+    bit_terms = []
+    for b in range(16):
+        bit_terms.append(
+            f"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
+                t -> CASE WHEN substring(md5(t), {b + 1}, 1)
+                          IN ('1','3','5','7','9','b','d','f')
+                     THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END"""
+        )
+    return " + ".join(bit_terms)
+
+
+@q(
+    "q24_simhash",
+    f"""
+    SELECT simhash, count(*) AS n
+    FROM (SELECT ({_simhash_sql()}) AS simhash FROM documents)
+    GROUP BY simhash
+    """,
+)
+def q24_simhash(spark, sf_dir):
+    """SimHash near-dup fingerprint (16-bit), histogram by signature."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(textops.simhash16(F.col("text")).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q25_quality_scores",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           round(least(100.0, greatest(0.0,
+               least(1.0, len(string_split(text, ' ')) / 100.0) * 50.0
+             + (len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                / len(string_split(text, ' '))) * 30.0
+             + least(1.0, ((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                           / len(string_split(text, ' '))) / 10.0) * 20.0
+           )), 4) AS quality_score
+    FROM documents
+    """,
+)
+def q25_quality_scores(spark, sf_dir):
+    """Quality scoring: length/stopword/token-shape features + clamped
+    weighted score (F18/F19 semantics over documents)."""
+    return textops.quality_features(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "q26_lang_id",
+    """
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter(string_split(text,' '), t -> t IN ('the','a','and'))) AS s_en,
+               len(list_filter(string_split(text,' '), t -> t IN ('el','la','de'))) AS s_es,
+               len(list_filter(string_split(text,' '), t -> t IN ('der','die','das'))) AS s_de,
+               len(list_filter(string_split(text,' '), t -> t IN ('le','la','et'))) AS s_fr
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS predicted,
+           count(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def q26_lang_id(spark, sf_dir):
+    """Language-ID heuristic (marker stopword counts) — confusion matrix
+    against the table's lang column."""
+    d = t(spark, sf_dir, "documents")
+    s = textops.lang_scores(F.col("text"))
+    scored = d.select(
+        "lang",
+        s["en"].alias("s_en"),
+        s["es"].alias("s_es"),
+        s["de"].alias("s_de"),
+        s["fr"].alias("s_fr"),
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")),
+            F.lit("es"),
+        )
+        .when(F.col("s_de") >= F.col("s_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.groupBy("lang", predicted.alias("predicted")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@q(
+    "q27_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_aggregate(
+               list_transform({_SHINGLE_SQL}, s -> md5('b0|' || s)), 'min'
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def q27_fingerprint(spark, sf_dir):
+    """Document fingerprinting: min-hash-of-shingles (winnowing-lite)."""
+    d = t(spark, sf_dir, "documents")
+    sh = textops.word_shingles(F.col("text"), 3)
+    return d.select(
+        "doc_id", textops.minhash_band_sig(sh, 0).alias("fingerprint")
+    )
+
+
+@q(
+    "q28_token_totals",
+    r"""
+    SELECT sum(len(string_split(text, ' ')))::bigint AS total_ws_tokens,
+           sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::bigint AS total_bpe_tokens,
+           count(*) AS n_docs
+    FROM documents
+    """,
+)
+def q28_token_totals(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex segmentation totals."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    )
+    return d.agg(
+        F.sum(ws).alias("total_ws_tokens"),
+        F.sum(bpe).alias("total_bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search (brief ops)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> a.embedding[i]::double * q.embedding[i]::double))
+    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> a.embedding[i]::double * a.embedding[i]::double)))
+     * sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+             i -> q.embedding[i]::double * q.embedding[i]::double))))
+"""
+
+
+@q(
+    "q29_cosine_topk",
+    f"""
+    SELECT a.vec_id, round({_COS_SQL}, 6) AS cos_sim
+    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    """,
+)
+def q29_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs a query vector (ANN baseline)."""
+    e = t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return vectorops.topk_cosine(e, list(qvec), 10)
+
+
+@q(
+    "q30_lsh_buckets",
+    """
+    SELECT (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END
+          + CASE WHEN embedding[33] > 0 THEN 16 ELSE 0 END) AS bucket,
+           count(*) AS n
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q30_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing (the ANN scale path's blocking stage)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.groupBy(
+        vectorops.sign_lsh_bucket(F.col("embedding")).alias("bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+@q(
+    "q31_centroid_cosine",
+    """
+    WITH flat AS (
+        SELECT label, u.pos, embedding[u.pos] AS val
+        FROM embeddings,
+             unnest(range(1, len(embedding) + 1)) AS u(pos)
+    ), centroid AS (
+        SELECT label, pos,
+               (sum(cast(round(val, 6) as decimal(18,6)))::double / count(*)) AS c
+        FROM flat GROUP BY label, pos
+    ), cvec AS (
+        SELECT label, list(c ORDER BY pos) AS cv FROM centroid GROUP BY label
+    ), sims AS (
+        SELECT e.label,
+               round(
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                          i -> e.embedding[i]::double * cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                          i -> e.embedding[i]::double * e.embedding[i]::double)))
+                  * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                          i -> cv[i] * cv[i])))), 6) AS cos_c
+        FROM embeddings e JOIN cvec USING (label)
+    )
+    SELECT label,
+           (sum(cast(cos_c as decimal(18,6)))::double / count(*)) AS avg_cos,
+           count(*) AS n
+    FROM sims GROUP BY label
+    """,
+)
+def q31_centroid_cosine(spark, sf_dir):
+    """Per-label centroid + average member cosine (cluster-coherence agg,
+    A14 analogue of interpret.py:682-703)."""
+    e = t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "val")
+    ).withColumn("pos", F.col("pos0") + 1)
+    centroid = flat.groupBy("label", "pos").agg(
+        (
+            F.sum(F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("c")
+    )
+    cvec = centroid.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    j = e.join(F.broadcast(cvec), "label")
+    cos_c = F.round(
+        vectorops.dot(F.col("embedding"), F.col("cv"))
+        / (vectorops.norm(F.col("embedding")) * vectorops.norm(F.col("cv"))),
+        6,
+    )
+    sims = j.select("label", cos_c.alias("cos_c"))
+    return sims.groupBy("label").agg(
+        (F.sum(F.col("cos_c").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+            "avg_cos"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming, multimodal, and the KG pipeline itself
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = [0]
+
+
+@q(
+    "q32_streaming_counts",
+    """
+    SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+    """,
+)
+def q32_streaming_counts(spark, sf_dir):
+    """S1-analogue: Structured Streaming with availableNow trigger over the
+    events parquet; complete-mode agg to a memory sink, result returned as a
+    batch DataFrame (oracle: the equivalent batch aggregation)."""
+    schema = t(spark, sf_dir, "events").schema
+    _STREAM_SEQ[0] += 1
+    qname = f"kgforge_stream_counts_{_STREAM_SEQ[0]}"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sq = (
+        sdf.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(qname)
+
+
+@q(
+    "q33_multimodal_meta",
+    """
+    SELECT (octet_length(encode(text)) % 7 + 1) AS n_frames,
+           count(*) AS n_docs,
+           sum(octet_length(encode(text)))::bigint AS total_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def q33_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> mapInPandas decode stub ->
+    typed metadata agg (codec stubbed; Spark-side plumbing real)."""
+    from kgforge import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    meta = multimodal.extract_media_meta(multimodal.with_binary_payload(d))
+    return meta.groupBy("n_frames").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+@q("q90_kg_triples", None)
+def q90_kg_triples(spark, sf_dir):
+    """The full KG pipeline (north rule) on the seeded synthetic corpus:
+    extraction -> linking -> connected components -> canonicalize ->
+    dedup triples. Non-SQL-expressible (iterative CC) -> rows-only check."""
+    import tempfile
+
+    from kgforge.pipeline import run_kg
+    from kgforge.synth import synth_source_files
+
+    out = tempfile.mkdtemp(prefix="kgforge_q90_")
+    src = synth_source_files(spark, 600)
+    triples = run_kg(spark, src, out, n_parts=8)
+    return triples.select("subj", "pred", "obj").orderBy("subj", "pred", "obj")
+
+
+@q("q91_mention_extraction", None)
+def q91_mention_extraction(spark, sf_dir):
+    """Batched NER mention extraction (N5/N6) over the synthetic corpus:
+    per-entity-type mention counts. Rows-only (model path not in SQL)."""
+    from kgforge.extract import extract_mentions, with_clean
+    from kgforge.synth import synth_source_files
+
+    src = with_clean(synth_source_files(spark, 800))
+    m = extract_mentions(src)
+    return m.groupBy("entity_type").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("surface").alias("n_surfaces"),
+    )

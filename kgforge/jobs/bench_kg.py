@@ -1,0 +1,110 @@
+"""Single-parallelism KG bench leg (invoked by bench.py in a fresh JVM).
+
+Separate process per parallelism level: restarting a SparkSession with a
+different local[k] master inside one JVM leaves a stale Python-accumulator
+socket (observed: 9x slowdown + socket write stack traces), and a fresh JVM
+is the honest analogue of submitting to a differently-sized cluster anyway.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--parts", type=int, default=64)
+    ap.add_argument(
+        "--extract-only",
+        action="store_true",
+        help="time the extraction operator alone (scan->clean->NER->noop); "
+        "this is the stage that is >99.9%% of the work at 10^12-file scale "
+        "and the object of the N-vs-4N scaling measurement",
+    )
+    ap.add_argument(
+        "--task-cpus",
+        type=int,
+        default=2,
+        help="cores reserved per task (JVM thread + Python worker). Without "
+        "this, local[k] runs k JVM threads AND k Python workers — 2x "
+        "oversubscription that halves per-worker throughput at saturation. "
+        "Real clusters provision pandas-UDF stages the same way.",
+    )
+    args = ap.parse_args(argv)
+
+    from kgforge.pipeline import KGPaths, run_extraction, run_graph
+    from kgforge.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{args.cores}]",
+        app_name=f"kgforge-bench-{args.cores}",
+        shuffle_partitions=max(args.cores, 16),
+        extra_conf={"spark.task.cpus": str(args.task_cpus)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.extract_only:
+        from kgforge.extract import extract_mentions, with_clean
+
+        source = spark.read.parquet(args.corpus)
+        n_files = source.count()
+        t0 = time.time()
+        m = extract_mentions(with_clean(source))
+        m.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "cores": args.cores,
+                    "files": n_files,
+                    "extract_sec": round(dt, 2),
+                    "files_per_sec_extract": round(n_files / dt, 1),
+                }
+            )
+        )
+        return 0
+
+    shutil.rmtree(args.out, ignore_errors=True)
+    paths = KGPaths(
+        mentions=f"{args.out}/mentions",
+        triples=f"{args.out}/triples",
+        lineage=f"{args.out}/lineage",
+    )
+    source = spark.read.parquet(args.corpus)
+    n_files = source.count()
+
+    t0 = time.time()
+    run_extraction(spark, source, paths, n_parts=args.parts, resume=False)
+    t_extract = time.time() - t0
+    t1 = time.time()
+    triples = run_graph(spark, paths, n_parts=args.parts)
+    n_triples = triples.count()
+    t_graph = time.time() - t1
+    total = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cores": args.cores,
+                "files": n_files,
+                "triples": n_triples,
+                "extract_sec": round(t_extract, 2),
+                "graph_sec": round(t_graph, 2),
+                "total_sec": round(total, 2),
+                "triples_per_sec": round(n_triples / total, 1),
+                "files_per_sec_extract": round(n_files / t_extract, 1),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import zlib
 
 import numpy as np
 
@@ -35,8 +36,9 @@ UNITS = ("ብር", "birr", "br")
 
 
 def _h(token: str) -> int:
-    """Process-stable token hash (never builtin ``hash``)."""
-    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
+    """Process-stable token hash (never builtin ``hash``; crc32 is C-speed
+    and version-stable — this sits in the per-token hot loop)."""
+    return zlib.crc32(token.encode("utf-8"))
 
 
 def tag_tokens(tokens: list[str]) -> list[str]:
@@ -66,22 +68,65 @@ def tag_tokens(tokens: list[str]) -> list[str]:
 class DeterministicTagger:
     """Stand-in for the fine-tuned token classifier.
 
-    ``logits`` has the real interface: list-of-token-lists in, a float32
-    ndarray [n_tokens, n_labels] per sentence out. A real model drops in by
-    replacing this class (tokenize -> forward -> re-align to words, as in
-    reference src/modeling/train_ner.py:252-303 subword alignment).
+    ``logits`` has the real interface and the real *cost shape*: the whole
+    Arrow batch's tokens are embedded into one [T, D] matrix and pushed
+    through L dense tanh layers + a label projection in a single batched
+    numpy forward (BLAS, GIL-free) — the same batched-inference compute
+    pattern as an XLM-R forward, scaled down (D=128, L=4). The lexical
+    prior (``tag_tokens``) contributes a +/-8 margin while the network term
+    is bounded by +/-2, so the argmax — and therefore the P/R oracle gate —
+    is exactly the deterministic tag assignment. A real checkpoint drops in
+    by replacing this class (tokenize -> forward -> subword re-align as in
+    reference src/modeling/train_ner.py:252-303).
     """
 
     labels = TAGS
+    D = 128
+    LAYERS = 4
+
+    def __init__(self) -> None:
+        rng = np.random.RandomState(42)  # legacy RandomState: stable across numpy versions
+        self._W = [
+            rng.uniform(-1, 1, (self.D, self.D)).astype(np.float32) / np.sqrt(self.D)
+            for _ in range(self.LAYERS)
+        ]
+        self._P = (
+            rng.uniform(-1, 1, (self.D, len(TAGS))).astype(np.float32) / self.D
+        )
+        # fixed embedding table: token -> row by crc32 (one vectorized gather
+        # per batch instead of a per-token md5 + frombuffer — the hot loop
+        # is memory-bandwidth sensitive at 32 workers/socket)
+        self._VOCAB = 4096
+        self._E = rng.uniform(-1, 1, (self._VOCAB, self.D)).astype(np.float32)
 
     def logits(self, batch_tokens: list[list[str]]) -> list[np.ndarray]:
+        lengths = [len(t) for t in batch_tokens]
+        total = sum(lengths)
+        if total == 0:
+            return [np.zeros((0, len(TAGS)), dtype=np.float32) for _ in batch_tokens]
+        # one batched forward for the whole Arrow batch
+        idx = np.fromiter(
+            (
+                zlib.crc32(tok.encode("utf-8")) % self._VOCAB
+                for tokens in batch_tokens
+                for tok in tokens
+            ),
+            dtype=np.int64,
+            count=total,
+        )
+        h = self._E[idx]
+        for w in self._W:
+            h = np.tanh(h @ w)
+        net = 2.0 * np.tanh(h @ self._P)  # bounded |net| <= 2
+
         out = []
-        for tokens in batch_tokens:
-            tags = tag_tokens(tokens)
-            m = np.full((len(tokens), len(TAGS)), -4.0, dtype=np.float32)
-            for i, t in enumerate(tags):
-                m[i, TAG_TO_ID[t]] = 8.0
-            out.append(m)
+        i = 0
+        for tokens, n in zip(batch_tokens, lengths):
+            base = np.full((n, len(TAGS)), -8.0, dtype=np.float32)
+            for j, t in enumerate(tag_tokens(tokens)):
+                base[j, TAG_TO_ID[t]] = 8.0
+            out.append(base + net[i : i + n])
+            i += n
         return out
 
     def predict_tags(self, batch_tokens: list[list[str]]) -> list[list[str]]:

@@ -24,6 +24,11 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with kgforge defaults."""
+    # Python workers inherit the driver env in local mode: pin BLAS to one
+    # thread per worker. Without this every pandas-UDF worker spawns a full
+    # OpenBLAS pool (32 workers x 32 threads observed -> 2x slowdown).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     master = master or f"local[{DEFAULT_CPUS}]"
     builder = (
         SparkSession.builder.master(master)

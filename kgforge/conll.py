@@ -1,0 +1,84 @@
+"""CoNLL text scan/sink (SURVEY.md S4/S9) — Spark-first.
+
+The reference parses CoNLL five separate times with Python file loops
+(reference: src/preprocessing/data_pipeline.py:138-167 and four variants).
+kgforge reads it ONCE as a distributed text scan and reconstructs sentences
+relationally: sentence id = running count of blank lines (window cumulative
+sum), then collect tokens/tags per sentence ordered by line number.
+
+Scale note: a single window over the whole file is one global ordering —
+fine for corpus-sized CoNLL (the reference's corpus is 3k sentences), and
+for 10^12-scale the input would be sharded files where the same window runs
+per file partition (partitionBy the filename).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_conll(spark: SparkSession, path: str) -> DataFrame:
+    """CoNLL file(s) -> (sent_id, tokens array, tags array).
+
+    Mirrors the reference reader's semantics: delimiter = tab if present
+    else whitespace, maxsplit 1 (data_pipeline.py:146-160); malformed lines
+    (fewer than 2 fields) are skipped (P7, train_ner.py:144-150).
+    """
+    lines = (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("line_no"),
+            F.trim(F.col("value")).alias("line"),
+        )
+    )
+    w = Window.partitionBy("file").orderBy("line_no")
+    with_sent = lines.withColumn(
+        "sent_id",
+        F.sum(F.when(F.col("line") == "", 1).otherwise(0)).over(w),
+    ).filter(F.col("line") != "")
+    parts = F.split(F.col("line"), r"\s+", 2)
+    tokens_tags = with_sent.select(
+        "file",
+        "sent_id",
+        "line_no",
+        F.get(parts, 0).alias("token"),  # F.get: null (not ANSI error) when
+        F.get(parts, 1).alias("tag"),  # a malformed line has <2 fields (P7)
+    ).filter(F.col("tag").isNotNull() & (F.col("tag") != ""))
+    grouped = (
+        tokens_tags.groupBy("file", "sent_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("line_no", "token", "tag"))
+                ),
+                lambda s: s["token"],
+            ).alias("tokens"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("line_no", "token", "tag"))
+                ),
+                lambda s: s["tag"],
+            ).alias("tags"),
+        )
+        .select("sent_id", "tokens", "tags")
+    )
+    return grouped
+
+
+def write_conll(df: DataFrame, path: str) -> None:
+    """(tokens, tags) -> CoNLL text, one Spark text write.
+
+    The reference's temp-file + atomic rename (data_pipeline.py:190-211) is
+    subsumed by Spark's task-commit protocol.
+    """
+    body = F.concat_ws(
+        "\n",
+        F.zip_with(
+            F.col("tokens"), F.col("tags"), lambda t, g: F.concat_ws("\t", t, g)
+        ),
+    )
+    df.select(F.concat(body, F.lit("\n")).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)

@@ -1101,3 +1101,150 @@ def q91_mention_extraction(spark, sf_dir):
         F.count("*").alias("n_mentions"),
         F.countDistinct("surface").alias("n_surfaces"),
     )
+
+
+@q(
+    "q34_embedding_neardup",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END
+              + CASE WHEN embedding[33] > 0 THEN 16 ELSE 0 END) AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, q.vec_id AS b_id, round({_COS_SQL}, 6) AS cos_sim
+    FROM b a JOIN b q ON a.bucket = q.bucket AND a.vec_id < q.vec_id
+    ORDER BY cos_sim DESC, a_id, b_id LIMIT 20
+    """,
+)
+def q34_embedding_neardup(spark, sf_dir):
+    """Embedding near-dup: sign-LSH bucketed self-join (never O(n^2)) ->
+    exact cosine on candidates -> top-20 most similar pairs."""
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", vectorops.sign_lsh_bucket(F.col("embedding"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = F.round(
+        vectorops.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cos.alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "a_id", "b_id")
+        .limit(20)
+    )
+
+
+@q(
+    "q35_sessionization",
+    """
+    WITH g AS (
+        SELECT user_id, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (SELECT * FROM g ORDER BY user_id, event_id)
+    )
+    SELECT user_id, count(DISTINCT session_id)::bigint AS n_sessions,
+           count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def q35_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via cumulative-sum
+    window — the batch twin of a streaming session window."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    g = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = g.withColumn("session_id", F.sum("new_session").over(w2))
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@q(
+    "q36_rank_functions",
+    """
+    SELECT event_type, quartile, count(*) AS n,
+           round(min(pr), 4) AS min_pr, round(max(pr), 4) AS max_pr
+    FROM (
+        SELECT event_type,
+               ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pr
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    )
+    GROUP BY event_type, quartile
+    """,
+)
+def q36_rank_functions(spark, sf_dir):
+    """ntile + percent_rank windows (rank-function family coverage)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select(
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return r.groupBy("event_type", "quartile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("pr"), 4).alias("min_pr"),
+        F.round(F.max("pr"), 4).alias("max_pr"),
+    )
+
+
+@q(
+    "q37_string_functions",
+    """
+    SELECT count(DISTINCT upper(source)) AS n_upper,
+           count(DISTINCT substring(text, 1, 8)) AS n_prefix,
+           count(DISTINCT concat(lang, ':', source)) AS n_concat,
+           count(DISTINCT lpad(lang, 6, '_')) AS n_pad,
+           sum(length(replace(text, ' ', '')))::bigint AS chars_no_space
+    FROM documents
+    """,
+)
+def q37_string_functions(spark, sf_dir):
+    """String-function family: upper/substr/concat/lpad/replace (F-ops)."""
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.countDistinct(F.upper("source")).alias("n_upper"),
+        F.countDistinct(F.substring("text", 1, 8)).alias("n_prefix"),
+        F.countDistinct(F.concat_ws(":", "lang", "source")).alias("n_concat"),
+        F.countDistinct(F.lpad("lang", 6, "_")).alias("n_pad"),
+        F.sum(F.length(F.regexp_replace(F.col("text"), " ", ""))).alias(
+            "chars_no_space"
+        ),
+    )

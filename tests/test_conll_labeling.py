@@ -1,0 +1,137 @@
+"""CoNLL scan/sink round-trip, labeling pipeline, metrics jobs."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from kgforge.conll import read_conll, write_conll
+from kgforge.labeling import (
+    corpus_stats,
+    entity_consistency,
+    prepare_labeled_data,
+    tag_distribution,
+)
+from kgforge.metrics import error_cases, per_type_prf, span_prf, spans_table
+
+CONLL_TEXT = """ዋጋ\tO
+2,500\tB-PRICE
+ብር\tI-PRICE
+
+ሽያጭ\tO
+ጫማ\tB-PRODUCT
+ጥሩ\tI-PRODUCT
+እና\tO
+
+ብቻ\tO
+"""
+
+
+def _sentences(spark):
+    data = [
+        (0, ["ዋጋ", "2,500", "ብር"], ["O", "B-PRICE", "O"]),  # rule 1 fires
+        (1, ["ሽያጭ", "SKU-11/A2"], ["O", "B-PRODUCT"]),  # rule 2 veto
+        (2, ["x", "y"], ["O", "I-LOC"]),  # rule 3 promote
+        (3, ["a"], ["B-LOC"]),
+        (4, ["m", "n", "o"], ["B-PRICE", "I-PRICE", "O"]),
+    ] + [(10 + i, ["w", "z"], ["O", "O"]) for i in range(20)]
+    return spark.createDataFrame(
+        data, "sent_id long, tokens array<string>, tags array<string>"
+    )
+
+
+def test_conll_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.conll"
+    src.write_text(CONLL_TEXT, encoding="utf-8")
+    df = read_conll(spark, str(src))
+    rows = {tuple(r.tokens): list(r.tags) for r in df.collect()}
+    assert rows[("ዋጋ", "2,500", "ብር")] == ["O", "B-PRICE", "I-PRICE"]
+    assert rows[("ሽያጭ", "ጫማ", "ጥሩ", "እና")] == ["O", "B-PRODUCT", "I-PRODUCT", "O"]
+    assert rows[("ብቻ",)] == ["O"]
+    assert df.count() == 3
+
+    out = str(tmp_path / "out")
+    write_conll(df, out)
+    again = read_conll(spark, f"{out}/*.txt")
+    assert {tuple(r.tokens) for r in again.collect()} == set(rows)
+
+
+def test_conll_space_delimited_and_malformed(spark, tmp_path):
+    src = tmp_path / "sp.conll"
+    src.write_text("tok1 O\nmalformedline\ntok2 B-LOC\n\n", encoding="utf-8")
+    df = read_conll(spark, str(src))
+    r = df.first()
+    # malformed single-field line skipped (P7)
+    assert r.tokens == ["tok1", "tok2"]
+    assert r.tags == ["O", "B-LOC"]
+
+
+def test_prepare_labeled_data(spark):
+    train, val, report = prepare_labeled_data(_sentences(spark))
+    n = train.count() + val.count()
+    assert n == 25  # all sentences valid after repair
+    assert report["split_counts"]["train"] + report["split_counts"]["val"] == 25
+    # rule 1 absorbed the unit: I-PRICE present in the distribution
+    assert report["tag_distribution"].get("I-PRICE", 0) >= 2
+    # rule 2 vetoed the SKU PRODUCT
+    assert "B-PRODUCT" not in report["tag_distribution"]
+    # deterministic rerun
+    train2, val2, _ = prepare_labeled_data(_sentences(spark))
+    assert {r.sent_id for r in train.collect()} == {r.sent_id for r in train2.collect()}
+
+
+def test_tag_distribution_and_stats(spark):
+    s = _sentences(spark)
+    dist = {r.tag: r.n for r in tag_distribution(s).collect()}
+    assert dist["O"] == 2 + 1 + 1 + 1 + 40
+    stats = corpus_stats(s).first()
+    assert stats.n_sentences == 25
+    assert stats.min_len == 1 and stats.max_len == 3
+
+
+def test_entity_consistency(spark):
+    s = spark.createDataFrame(
+        [
+            (0, ["a", "b", "c"], ["B-PRICE", "I-PRICE", "O"]),  # terminated
+            (1, ["a", "b"], ["B-PRICE", "B-LOC"]),  # price NOT terminated (B- follows)
+            (2, ["a"], ["B-LOC"]),  # terminated at end
+        ],
+        "sent_id long, tokens array<string>, tags array<string>",
+    )
+    out = {r.entity_type: (r.total, r.correct) for r in entity_consistency(s).collect()}
+    # reference semantics (data_pipeline.py:281-283): "correct" iff the NEXT
+    # tag is neither I- nor B- — so B-PRICE followed by I-PRICE (sent 0) and
+    # B-PRICE followed by B-LOC (sent 1) both count as NOT terminated
+    assert out["PRICE"] == (2, 0)
+    assert out["LOC"] == (2, 2)
+
+
+def test_span_prf_and_errors(spark):
+    golden = spark.createDataFrame(
+        [
+            (0, ["a", "b", "c"], ["B-PRICE", "I-PRICE", "O"]),
+            (1, ["x", "y"], ["O", "B-LOC"]),
+        ],
+        "sent_id long, tokens array<string>, tags array<string>",
+    )
+    pred = spark.createDataFrame(
+        [
+            (0, ["a", "b", "c"], ["B-PRICE", "I-PRICE", "O"]),  # exact match
+            (1, ["x", "y"], ["B-LOC", "O"]),  # wrong position
+        ],
+        "sent_id long, tokens array<string>, tags array<string>",
+    )
+    g, p = spans_table(golden), spans_table(pred)
+    m = span_prf(g, p)
+    assert m["tp"] == 1 and m["n_golden"] == 2 and m["n_predicted"] == 2
+    assert abs(m["f1"] - 0.5) < 1e-9
+
+    per = {r.entity_type: (r.tp, r.n_golden) for r in per_type_prf(g, p).collect()}
+    assert per["PRICE"] == (1, 1)
+    assert per["LOC"] == (0, 1)
+
+    errs = error_cases(golden, pred).collect()
+    assert {(e.sent_id, e.pos) for e in errs} == {(1, 0), (1, 1)}
+    ctx = {e.pos: e.context for e in errs}
+    assert ctx[0] == "x y"

@@ -1,0 +1,91 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast, codegen, top-k.
+
+SURVEY.md §4: the reference has no optimizer; kgforge relies on Catalyst and
+VERIFIES the plans it expects — a scan that reads all columns for a
+2-column projection is wrong even if results match.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kgforge.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return (
+        REGISTRY[name]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q02_filter_project")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_orderstatus)" in plan or "EqualTo(o_orderstatus,O)" in plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "q02_filter_project")
+    # ReadSchema must NOT include untouched columns
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_broadcast_join_chosen(spark):
+    plan = plan_of(spark, "q07_segment_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_strategy(spark):
+    plan = plan_of(spark, "q13_customers_without_orders")
+    assert "LeftAnti" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "q11_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregation_is_whole_stage_codegen(spark):
+    df = REGISTRY["q01_pricing_summary"].fn(spark, SF)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan or "WholeStageCodegen" in plan  # codegen stage marker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # partial_ functions in the first HashAggregate = map-side combine
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "partial_" in plan
+
+
+def test_textops_stay_jvm_side(spark):
+    for name in ("q22_minhash_lsh", "q24_simhash", "q25_quality_scores",
+                 "q29_cosine_topk"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_mention_table_partition_pruning(spark, tmp_path):
+    """part_id filter on the written mention table prunes directories."""
+    from kgforge.pipeline import KGPaths, run_extraction
+    from kgforge.synth import synth_source_files
+    from pyspark.sql import functions as F
+
+    paths = KGPaths(
+        str(tmp_path / "m"), str(tmp_path / "t"), str(tmp_path / "l")
+    )
+    run_extraction(spark, synth_source_files(spark, 80), paths, n_parts=8)
+    df = spark.read.parquet(paths.mentions).filter(F.col("part_id") == 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part_id" in plan or "part_id#" in plan
+    # only one directory's files are scanned
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan, plan

@@ -1248,3 +1248,58 @@ def q37_string_functions(spark, sf_dir):
             "chars_no_space"
         ),
     )
+
+
+@q(
+    "q38_pivot",
+    """
+    SELECT year(ts) AS y,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint AS click,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::bigint AS signup,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::bigint AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q38_pivot(spark, sf_dir):
+    """A14 — pivot count per (group, category) (interpret.py:682-703
+    cluster x label shape). Explicit value list keeps the schema static."""
+    e = t(spark, sf_dir, "events")
+    cats = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy(F.year("ts").alias("y"))
+        .pivot("event_type", cats)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select("y", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in cats])
+
+
+@q(
+    "q39_array_ops",
+    """
+    SELECT list_position(string_split(text, ' '), 'spark') AS first_spark_pos,
+           count(*) AS n
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q39_array_ops(spark, sf_dir):
+    """F15 — array_position token-index lookup (conll_annotator.py:91-94),
+    histogrammed (0 = token absent in both engines' conventions)."""
+    d = t(spark, sf_dir, "documents")
+    pos = F.array_position(F.split(F.col("text"), " "), "spark")
+    return d.groupBy(pos.alias("first_spark_pos")).agg(F.count("*").alias("n"))
+
+
+@q("q92_vendor_scorecards", None)
+def q92_vendor_scorecards(spark, sf_dir):
+    """Vendor analytics (reference §3.3): posts -> batched NER -> per-vendor
+    aggregates -> weighted lending scorecards. Rows-only (model path)."""
+    from kgforge.scorecard import generate_scorecards
+    from kgforge.synth import synth_messages
+
+    return generate_scorecards(synth_messages(spark, 400)).select(
+        "channel", "n_posts", "avg_weekly_posts", "avg_views",
+        "top_post_id", "avg_price", "product_variety", "lending_score",
+    )

@@ -1,0 +1,140 @@
+"""Vendor analytics / lending scorecards (reference pipeline §3.3).
+
+Reproduces the scorecard engine's semantics (reference:
+ethiomart_fintech/vendor_analytics/scorecard_engine.py:32-98 +
+metrics_calculator.py:15-116) as ONE lazy Spark DAG instead of a per-vendor
+Python loop with per-row model calls:
+
+    read posts -> clean -> batched NER (mapInPandas) -> explode mentions ->
+    groupBy(vendor) aggregates (A6-A10) -> window top-post (A8) ->
+    weighted lending score (F18/F19) -> one scorecard row per vendor.
+
+Two shuffles total (vendor agg + window); AQE coalesces. Weights follow the
+reference config (config/config.py:14-19 shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgforge.extract import extract_mentions, with_clean
+
+# reference weighting (config/config.py:14-19): activity, engagement, price
+WEIGHTS = {"posting": 0.4, "views": 0.4, "price": 0.2}
+NORM_CAPS = {"weekly_posts": 20.0, "avg_views": 10_000.0, "avg_price": 5_000.0}
+
+
+def posts_with_mentions(posts: DataFrame) -> DataFrame:
+    """posts(channel, message_id, text, ...) -> one row per NER mention.
+
+    Reuses the KG extraction operator by mapping the post key onto the
+    (repo, path, commit) mention provenance columns.
+    """
+    shaped = posts.select(
+        F.col("channel").alias("repo"),
+        F.col("message_id").cast("string").alias("path"),
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("commit"),
+        F.col("text").alias("content"),
+    )
+    m = extract_mentions(with_clean(shaped))
+    return m.select(
+        F.col("repo").alias("channel"),
+        F.col("path").cast("long").alias("message_id"),
+        "entity_type",
+        "surface",
+    )
+
+
+def vendor_metrics(posts: DataFrame, mentions: DataFrame) -> DataFrame:
+    """A6-A10 per-vendor aggregate block."""
+    p = posts.withColumn("year", F.year("date")).withColumn(
+        "week", F.weekofyear("date")
+    )
+
+    weekly = p.groupBy("channel", "year", "week").agg(F.count("*").alias("n"))
+    posting = weekly.groupBy("channel").agg(
+        F.round(F.avg("n"), 4).alias("avg_weekly_posts"),
+        F.count("*").alias("n_weeks"),
+    )
+
+    views = p.groupBy("channel").agg(
+        F.count("*").alias("n_posts"),
+        F.round(F.avg(F.nullif(F.col("views"), F.lit(0))), 4).alias("avg_views"),
+        F.median(F.nullif(F.col("views"), F.lit(0))).alias("median_views"),
+        F.max("views").alias("max_views"),
+    )
+
+    # A8: top post by views (row_number window, deterministic tiebreak)
+    w = Window.partitionBy("channel").orderBy(
+        F.col("views").desc(), F.col("message_id")
+    )
+    top = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("channel", F.col("message_id").alias("top_post_id"),
+                F.col("views").alias("top_post_views"))
+    )
+
+    # A9: price stats over extracted PRICE mentions (F17 comma-strip cast;
+    # try_cast: unparseable -> null == the reference's skip-on-error)
+    price = (
+        mentions.filter(F.col("entity_type") == "PRICE")
+        .withColumn(
+            "amount",
+            F.regexp_replace("surface", "[^0-9.]", "").try_cast("double"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.round(F.avg("amount"), 4).alias("avg_price"),
+            F.min("amount").alias("min_price"),
+            F.max("amount").alias("max_price"),
+            F.countDistinct("amount").alias("price_points"),
+        )
+    )
+    variety = (
+        mentions.filter(F.col("entity_type") == "PRODUCT")
+        .groupBy("channel")
+        .agg(F.countDistinct("surface").alias("product_variety"))
+    )
+
+    return (
+        posting.join(views, "channel", "full")
+        .join(top, "channel", "left")
+        .join(price, "channel", "left")
+        .join(variety, "channel", "left")
+    )
+
+
+def lending_scores(metrics: DataFrame) -> DataFrame:
+    """F18/F19: clamped min-max normalize + weighted score, cap 100
+    (metrics_calculator.py:100-116)."""
+
+    def norm(col, cap):
+        return F.least(F.lit(1.0), F.greatest(F.lit(0.0), col / F.lit(cap)))
+
+    score = F.round(
+        F.least(
+            F.lit(100.0),
+            100.0
+            * (
+                WEIGHTS["posting"]
+                * norm(F.coalesce(F.col("avg_weekly_posts"), F.lit(0.0)),
+                       NORM_CAPS["weekly_posts"])
+                + WEIGHTS["views"]
+                * norm(F.coalesce(F.col("avg_views"), F.lit(0.0)),
+                       NORM_CAPS["avg_views"])
+                + WEIGHTS["price"]
+                * norm(F.coalesce(F.col("avg_price"), F.lit(0.0)),
+                       NORM_CAPS["avg_price"])
+            ),
+        ),
+        4,
+    )
+    return metrics.withColumn("lending_score", score)
+
+
+def generate_scorecards(posts: DataFrame) -> DataFrame:
+    """posts -> one scorecard row per vendor (the engine's full §3.3 DAG)."""
+    mentions = posts_with_mentions(posts)
+    return lending_scores(vendor_metrics(posts, mentions))

@@ -136,3 +136,66 @@ def with_sha256(df: DataFrame) -> DataFrame:
     ``sha2(content, 256)`` must equal Python hashlib.sha256 — tested in
     tests/test_synth.py."""
     return df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+# ---------------------------------------------------------------------------
+# Reference-shaped messages table (FIXTURES.md §2) — vendor analytics input.
+# ---------------------------------------------------------------------------
+
+_CHANNELS = ("shageronlinestore", "ethio_market", "addis_deals", "bole_shop")
+
+
+def make_message(i: int) -> dict:
+    """Deterministic message row i (telegram_scraper.py:288-311 shape)."""
+    rng = random.Random(f"kgforge-msg-{SEED}-{i}")
+    channel = _CHANNELS[i % 4] if i != 777 else "lonely_vendor"
+    base = 1_700_000_000 + (i % 7000) * 9000  # >20 ISO weeks of spread
+    text: str | None
+    if i % 29 == 0:
+        text = None
+    elif i % 31 == 0:
+        text = "[no text]"
+    else:
+        parts = [rng.choice(_FILLER)]
+        if i % 3 != 2:
+            amt = rng.randrange(100, 50000)
+            parts.append(f"ዋጋ {amt:,} ብር" if i % 2 else f"price {amt} birr")
+        if i % 5 == 0:
+            parts.append(f"call 09{rng.randrange(10**7, 10**8):08d}")
+        if i % 4 != 3:
+            parts.append(f"{_TRIGGERS[i % 3]} {rng.choice(_PRODUCTS)}")
+        text = " ".join(parts)
+    views = 0 if i % 23 == 0 else rng.randrange(10, 50000)
+    return {
+        "channel": channel,
+        "channel_title": channel.replace("_", " ").title(),
+        "message_id": i,
+        "text": text,
+        "date": base,  # unix seconds; cast to timestamp in the DataFrame
+        "views": views,
+        "forwards": rng.randrange(0, 500),
+        "replies": float(rng.randrange(0, 60)) if i % 6 else None,
+        "has_media": i % 2 == 0,
+        "media_type": "photo" if i % 2 == 0 else None,
+        "media_size": float(rng.randrange(10_000, 5_000_000)) if i % 2 == 0 else None,
+        "message_hash": hashlib.sha256((text or "").encode()).hexdigest(),
+    }
+
+
+MESSAGES_SCHEMA = (
+    "channel string, channel_title string, message_id long, text string, "
+    "date long, views long, forwards long, replies double, has_media boolean, "
+    "media_type string, media_size double, message_hash string"
+)
+
+
+def synth_messages(spark: SparkSession, n: int = 600) -> DataFrame:
+    """Reference-shaped messages/posts table (FIXTURES.md §2), distributed."""
+    base = spark.range(0, n, 1, max(2, spark.sparkContext.defaultParallelism))
+
+    def gen(iterator):
+        for pdf in iterator:
+            yield pd.DataFrame([make_message(int(i)) for i in pdf["id"]])
+
+    df = base.mapInPandas(gen, schema=MESSAGES_SCHEMA)
+    return df.withColumn("date", F.col("date").cast("timestamp"))

@@ -103,11 +103,31 @@ def run_extraction(
     lineage.append_lineage(rows.unionByName(empty), paths.lineage)
 
 
+STAGE_GRAPH_INPUT = "graph_input"
+
+
+def _mentions_fingerprint(spark: SparkSession, paths: KGPaths) -> str:
+    """Identity of the graph phase's input: sha256 over the sorted
+    (part_id, fingerprint) pairs of committed mention partitions
+    (<= n_parts rows — a driver-side collect is the cheap path)."""
+    import hashlib
+
+    rows = (
+        spark.read.parquet(paths.lineage)
+        .filter(F.col("stage") == STAGE_MENTIONS)
+        .select("part_id", "fingerprint")
+        .collect()
+    )
+    blob = ";".join(f"{r.part_id}:{r.fingerprint}" for r in sorted(rows))
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
 def run_graph(
     spark: SparkSession,
     paths: KGPaths,
     n_parts: int = materialize.DEFAULT_PARTS,
     link_threshold: float = link.DEFAULT_THRESHOLD,
+    resume: bool = True,
 ) -> DataFrame:
     """Phase 2: mentions -> linked/canonicalized deduplicated triple table.
 
@@ -119,6 +139,24 @@ def run_graph(
     re-attach to their canonical surface by an equi-join on the surface key
     at the end (AQE skew-join handles hot surface keys).
     """
+    input_fp = _mentions_fingerprint(spark, paths)
+    if resume:
+        # short-circuit: if the graph was already built from EXACTLY this
+        # mention-table state, the committed triple table is current.
+        try:
+            lin = spark.read.parquet(paths.lineage)
+            done = (
+                lin.filter(
+                    (F.col("stage") == STAGE_GRAPH_INPUT)
+                    & (F.col("fingerprint") == input_fp)
+                ).count()
+                > 0
+            )
+        except Exception:
+            done = False
+        if done:
+            return spark.read.parquet(paths.triples)
+
     mentions = spark.read.parquet(paths.mentions)
 
     # vertex set: distinct surface forms, deterministic id = min(mention_id)
@@ -139,10 +177,12 @@ def run_graph(
 
     materialize.write_partitioned(triples, paths.triples)
     written = spark.read.parquet(paths.triples)
-    lineage.append_lineage(
-        lineage.lineage_rows(written, STAGE_TRIPLES, TRIPLE_CONTENT_COLS),
-        paths.lineage,
+    rows = lineage.lineage_rows(written, STAGE_TRIPLES, TRIPLE_CONTENT_COLS)
+    marker = rows.sparkSession.createDataFrame(
+        [(STAGE_GRAPH_INPUT, -1, 0, input_fp, 0)],
+        "stage string, part_id int, n_rows long, fingerprint string, wall_ms long",
     )
+    lineage.append_lineage(rows.unionByName(marker), paths.lineage)
     return written
 
 

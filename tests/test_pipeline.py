@@ -49,7 +49,7 @@ def test_full_pipeline_shapes(spark, outdir):
     # lineage rows exist for both stages and every partition
     ldf = spark.read.parquet(f"{outdir}/lineage")
     stages = {r.stage for r in ldf.select("stage").distinct().collect()}
-    assert stages == {"mentions", "triples"}
+    assert stages == {"mentions", "triples", "graph_input"}
     assert ldf.filter(F.col("stage") == "mentions").count() == PARTS
 
 
@@ -113,3 +113,16 @@ def test_parallelism_determinism_of_triples(spark, outdir, tmp_path):
     src2 = synth_source_files(spark, 150, partitions=13)
     b = run_kg(spark, src2, str(tmp_path / "b"), n_parts=4)
     assert _triple_set(a) == _triple_set(b)
+
+
+def test_graph_phase_short_circuits_when_input_unchanged(spark, outdir):
+    src = synth_source_files(spark, 100)
+    run_kg(spark, src, outdir, n_parts=4)
+    ldf = spark.read.parquet(f"{outdir}/lineage")
+    n_before = ldf.filter(F.col("stage") == "triples").count()
+    # identical rerun: extraction anti-joins to nothing, graph phase must
+    # short-circuit on the graph_input fingerprint marker
+    triples = run_kg(spark, src, outdir, n_parts=4)
+    ldf2 = spark.read.parquet(f"{outdir}/lineage")
+    assert ldf2.filter(F.col("stage") == "triples").count() == n_before
+    assert triples.count() > 0

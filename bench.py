@@ -26,7 +26,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 KG_FILES = int(os.environ.get("KGFORGE_BENCH_FILES", "400000"))
-SCALING_FILES = int(os.environ.get("KGFORGE_SCALING_FILES", "1000000"))
+SCALING_FILES = int(os.environ.get("KGFORGE_SCALING_FILES", "600000"))
 CORPUS = f"/tmp/kgforge_bench_corpus_{KG_FILES}"
 SCALING_CORPUS = f"/tmp/kgforge_scaling_corpus_{SCALING_FILES}"
 SCALING_TRIALS = int(os.environ.get("KGFORGE_SCALING_TRIALS", "2"))

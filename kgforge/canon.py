@@ -59,11 +59,14 @@ def connected_components(
             sym.join(assign, sym["dst"] == assign["mention_id"], "inner")
             .select(F.col("src").alias("mention_id"), F.col("component_id"))
         )
+        # lazy checkpoint: the convergence agg below is the single action
+        # that both materializes this round's assignment and tests the
+        # fixpoint — one Spark job per iteration instead of two
         new_assign = (
             assign.unionByName(nbr)
             .groupBy("mention_id")
             .agg(F.min("component_id").alias("component_id"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
         new_sum = _sum_ids(new_assign)
         assign = new_assign

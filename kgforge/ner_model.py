@@ -145,3 +145,17 @@ def get_model() -> DeterministicTagger:
     if _MODEL is None:
         _MODEL = DeterministicTagger()
     return _MODEL
+
+
+# Module-level vectorized wrapper (nested pandas_udf definitions cannot
+# resolve the postponed 'pd.Series' annotations).
+import pandas as pd  # noqa: E402
+from pyspark.sql.functions import pandas_udf  # noqa: E402
+from pyspark.sql.types import ArrayType, StringType  # noqa: E402
+
+
+@pandas_udf(ArrayType(StringType()))
+def model_tags_udf(tokens: pd.Series) -> pd.Series:
+    """Batched raw model tags for an array<string> tokens column."""
+    model = get_model()
+    return pd.Series(model.predict_tags([list(t) for t in tokens]))

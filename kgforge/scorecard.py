@@ -22,7 +22,7 @@ from kgforge.extract import extract_mentions, with_clean
 
 # reference weighting (config/config.py:14-19): activity, engagement, price
 WEIGHTS = {"posting": 0.4, "views": 0.4, "price": 0.2}
-NORM_CAPS = {"weekly_posts": 20.0, "avg_views": 10_000.0, "avg_price": 5_000.0}
+NORM_CAPS = {"weekly_posts": 20.0, "avg_views": 40_000.0, "avg_price": 40_000.0}
 
 
 def posts_with_mentions(posts: DataFrame) -> DataFrame:

@@ -1303,3 +1303,52 @@ def q92_vendor_scorecards(spark, sf_dir):
         "channel", "n_posts", "avg_weekly_posts", "avg_views",
         "top_post_id", "avg_price", "product_variety", "lending_score",
     )
+
+
+@q("q93_doc_neardup_dedup", None)
+def q93_doc_neardup_dedup(spark, sf_dir):
+    """Near-duplicate DOCUMENT dedup end-to-end: MinHash band signatures ->
+    candidate pairs -> connected components (transitive closure) -> keep
+    min doc_id per cluster. The corpus-curation composition of kgforge.link
+    + kgforge.canon; rows-only (iterative CC not SQL-expressible)."""
+    from kgforge import canon
+
+    d = t(spark, sf_dir, "documents")
+    sh = textops.word_shingles(F.col("text"), 3)
+    sigs = None
+    for band in (0, 1):
+        s = d.select(
+            F.col("doc_id").alias("mention_id"),
+            textops.minhash_band_sig(sh, band).alias("sig"),
+            F.lit(band).alias("band"),
+        )
+        sigs = s if sigs is None else sigs.unionByName(s)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.mention_id") < F.col("b.mention_id")),
+        )
+        .select(
+            F.col("a.mention_id").alias("src"),
+            F.col("b.mention_id").alias("dst"),
+            F.lit(1.0).alias("sim"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    vertices = d.select(F.col("doc_id").alias("mention_id"))
+    assign = canon.connected_components(vertices, edges)
+    survivors = assign.groupBy("component_id").agg(
+        F.min("mention_id").alias("kept_doc_id"),
+        F.count("*").alias("cluster_size"),
+    )
+    return survivors.select(
+        F.count("*").alias("n_clusters"),
+        F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0)).alias(
+            "n_neardup_clusters"
+        ),
+        F.sum("cluster_size").alias("n_docs"),
+        F.max("cluster_size").alias("max_cluster"),
+    )

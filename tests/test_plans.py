@@ -89,3 +89,40 @@ def test_mention_table_partition_pruning(spark, tmp_path):
     # only one directory's files are scanned
     scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scan, plan
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """AQE skew-join handling (north rule): with a deliberately skewed join
+    key and forced-low thresholds, the final adaptive plan marks the
+    sort-merge join as skew-handled."""
+    import pyspark.sql.functions as F
+
+    skew_conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in skew_conf}
+    try:
+        for k, v in skew_conf.items():
+            spark.conf.set(k, v)
+        # 90% of left rows share one key; right side is uniform
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("v")
+        )
+        j = left.join(right, "k").groupBy("v").count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -57,3 +57,51 @@ def test_stateful_running_counts(spark, tmp_path):
     # update-mode memory sink keeps the latest row per repo
     for repo, n in truth.items():
         assert res[repo] == n
+
+
+def test_watermarked_window_agg(spark, tmp_path):
+    """Event-time tumbling window + watermark over a file stream (late-data
+    handling): update-mode results must match the batch windowed agg."""
+    input_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt3")
+    events = spark.range(0, 500).select(
+        (F.lit(1_700_000_000) + F.col("id") * 3600).cast("timestamp").alias("ts"),
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+
+    sdf = spark.readStream.schema(events.schema).parquet(input_dir)
+    agg = (
+        sdf.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"), "k", "n", "sv"
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("kgforge_test_win")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.day, r.k): (r.n, r.sv)
+        for r in spark.table("kgforge_test_win").collect()
+    }
+    want = {
+        (r.day, r.k): (r.n, r.sv)
+        for r in events.groupBy(
+            F.window("ts", "1 day").alias("w"), "k"
+        )
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"), "k", "n", "sv"
+        )
+        .collect()
+    }
+    assert got == want

@@ -48,18 +48,19 @@ def minhash_band_sig(shingle_arr: Column, band: int) -> Column:
 
 def simhash16(col: Column) -> Column:
     """16-bit SimHash over tokens: bit b set iff sum(+/-1 per token) > 0,
-    where a token votes +1 on bit b when bit b of md5(token) is 1.
+    where a token votes +1 on bit b when hex digit b of md5(token) is odd.
 
-    Expressed as aggregate-over-array per bit — stays in codegen; the DuckDB
-    oracle computes the identical formula.
+    Expressed as 16 aggregate folds with md5 inline. Measured alternative
+    (hoisting md5 into a per-row array) is 3x SLOWER at sf0.1 — Catalyst
+    does not CSE across aggregate lambdas, so the hoist pays 16 array
+    allocations per row while inline md5 stays registers-only in codegen.
+    IN-list digit parity is bit-identical in DuckDB.
     """
     toks = tokens(col)
     odd_hex = ("1", "3", "5", "7", "9", "b", "d", "f")
 
     def make_step(bit_pos: int):
-        # parity of hex digit `bit_pos` of md5(token) — IN-list on the digit
-        # char is bit-identical in DuckDB (no conv/strtol portability trap).
-        # Named closure keeps the pyspark lambda arity at exactly 2.
+        # named closure keeps the pyspark lambda arity at exactly 2
         def step(acc, tok):
             return acc + F.when(
                 F.substring(F.md5(tok), bit_pos + 1, 1).isin(*odd_hex), F.lit(1)

@@ -126,3 +126,41 @@ def test_aqe_skew_join_splits_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing for co-located joins (task brief): two tables bucketed on
+    the join key join WITHOUT an Exchange on either side — the shuffle the
+    same join pays on plain parquet."""
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("a")
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("b")
+        )
+        left.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(
+            "kgforge_bkt_left"
+        )
+        right.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(
+            "kgforge_bkt_right"
+        )
+        j = spark.table("kgforge_bkt_left").join(
+            spark.table("kgforge_bkt_right"), "k"
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+
+        # control: identical join on plain parquet DOES shuffle
+        p = left.join(right, "k")
+        p.collect()
+        plan2 = p._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS kgforge_bkt_left")
+        spark.sql("DROP TABLE IF EXISTS kgforge_bkt_right")

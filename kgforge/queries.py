@@ -1352,3 +1352,66 @@ def q93_doc_neardup_dedup(spark, sf_dir):
         F.sum("cluster_size").alias("n_docs"),
         F.max("cluster_size").alias("max_cluster"),
     )
+
+
+@q(
+    "q40_asof_join",
+    """
+    WITH probes AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), quotes AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           (epoch_ms(p.ts) - epoch_ms(v.ts))::bigint AS lag_ms,
+           v.value AS view_value
+    FROM probes p ASOF LEFT JOIN quotes v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q40_asof_join(spark, sf_dir):
+    """As-of join — an operator Spark lacks, composed from existing ops
+    (task brief): each purchase matched to the same user's latest view at
+    or before it. Union both sides with a tag, one window pass per user
+    ordered by (ts, tag), carry the last view forward with
+    last(..., ignoreNulls) — one shuffle, no range explosion. Oracle:
+    DuckDB's native ASOF JOIN."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("long").alias("_view_id"),
+        F.lit(None).cast("double").alias("_view_value"),
+        F.lit(None).cast("timestamp").alias("_view_ts"),
+    )
+    quotes = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("_tag"),
+        F.col("event_id").alias("_view_id"),
+        F.col("value").alias("_view_value"),
+        F.col("ts").alias("_view_ts"),
+    )
+    # views sort before purchases at equal ts (as-of '>=' semantics)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_tag", "_view_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = probes.unionByName(quotes).select(
+        "*",
+        F.last("_view_id", ignorenulls=True).over(w).alias("view_id"),
+        F.last("_view_value", ignorenulls=True).over(w).alias("view_value"),
+        F.last("_view_ts", ignorenulls=True).over(w).alias("matched_ts"),
+    )
+    return merged.filter(F.col("_tag") == 1).select(
+        "purchase_id",
+        "view_id",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.col("matched_ts").cast("timestamp"))
+        ).alias("lag_ms"),
+        "view_value",
+    )

@@ -1,0 +1,64 @@
+"""Persistent warm bench leg: one JVM at a fixed parallelism, runs one
+timed extraction pass per "RUN" line on stdin, prints one JSON line per
+pass. Lets bench.py interleave trials across parallelism levels (A-B-A-B)
+with zero JVM-restart cost between trials — the statistically defensible
+protocol VERDICT r1 asked for (the host shows 1.8x single-thread speed
+drift second-to-second; interleaving + median cancels the slow component).
+
+A fresh process per parallelism level (not a re-mastered session) remains
+mandatory: re-mastering one JVM corrupts the Python accumulator channel
+(BENCH/BASELINE.md §2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--task-cpus", type=int, default=2)
+    args = ap.parse_args(argv)
+
+    from kgforge.extract import extract_mentions, with_clean
+    from kgforge.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{args.cores}]",
+        app_name=f"bench-leg-{args.cores}",
+        shuffle_partitions=max(args.cores, 16),
+        extra_conf={"spark.task.cpus": str(args.task_cpus)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    source = spark.read.parquet(args.corpus)
+    n_files = source.count()
+
+    def one_pass() -> float:
+        t0 = time.time()
+        extract_mentions(with_clean(source)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    # warmup pass: python-worker start, codegen JIT, page cache — untimed
+    warm = one_pass()
+    print(json.dumps({"ready": True, "cores": args.cores, "files": n_files,
+                      "warmup_sec": round(warm, 2)}), flush=True)
+
+    for line in sys.stdin:
+        if line.strip() != "RUN":
+            break
+        sec = one_pass()
+        print(json.dumps({"cores": args.cores, "sec": round(sec, 3),
+                          "files_per_sec": round(n_files / sec, 1)}), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,7 +23,7 @@ byte-stable.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
@@ -120,11 +120,15 @@ def candidate_pairs(
     """
     blocks = minhash_blocks(mentions, bands, shingle)
 
-    counts = blocks.groupBy("entity_type", "band", "sig").agg(
-        F.count("*").alias("_n")
+    # Block sizes via a window over the block key — NOT a broadcast join:
+    # the count table has one row per multi-member block, which is unbounded
+    # at scale (billions of distinct surfaces would OOM the driver). The
+    # window shuffles on (entity_type, band, sig), the same key family the
+    # self-join below needs anyway.
+    wb = Window.partitionBy("entity_type", "band", "sig")
+    blocks = blocks.withColumn("_n", F.count("*").over(wb)).filter(
+        F.col("_n") > 1
     )
-    blocks = blocks.join(F.broadcast(counts.filter(F.col("_n") > 1)),
-                         ["entity_type", "band", "sig"])
     salt = F.when(
         F.col("_n") > max_block,
         F.pmod(F.xxhash64("mention_id"), (F.col("_n") / max_block + 1).cast("int")),

@@ -2,18 +2,37 @@
 
 Parquet stands in for Iceberg in the sandbox (same layout discipline:
 partition column + dynamic partition overwrite == Iceberg's
-overwrite-by-partition snapshot commit; swap ``format('iceberg')`` in on a
-real cluster). Dynamic overwrite keeps per-partition writes idempotent —
-re-running a partition replaces exactly that partition, which is what makes
-kill/resume byte-stable.
+overwrite-by-partition snapshot commit). Dynamic overwrite keeps
+per-partition writes idempotent — re-running a partition replaces exactly
+that partition, which is what makes kill/resume byte-stable.
+
+The table format is ONE config seam (``TABLE_FORMAT`` /
+KGFORGE_TABLE_FORMAT): with the Iceberg runtime jar + catalog configured
+on a real cluster, setting it to ``iceberg`` routes every write through
+``writeTo(...).overwritePartitions()``, whose snapshot commit gives
+atomicity, time travel, schema evolution, and hidden-partition pruning —
+the semantics the parquet path emulates with directory-level dynamic
+overwrite. Mapping:
+
+  parquet stand-in                      Iceberg
+  ------------------------------------  -----------------------------------
+  partitionBy(part_col) directory tree  PARTITIONED BY (part_col)
+  partitionOverwriteMode=dynamic        overwritePartitions() snapshot
+  lineage fingerprint rows              snapshot summary / manifest stats
+  read-back with part_id filter         hidden partition pruning
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_PARTS = 64
+
+# "parquet" (sandbox default) or "iceberg" (real cluster w/ catalog).
+TABLE_FORMAT = os.environ.get("KGFORGE_TABLE_FORMAT", "parquet")
 
 
 def with_part_id(df: DataFrame, key_cols: list[str], n_parts: int = DEFAULT_PARTS) -> DataFrame:
@@ -30,7 +49,11 @@ def with_part_id(df: DataFrame, key_cols: list[str], n_parts: int = DEFAULT_PART
 
 
 def write_partitioned(
-    df: DataFrame, path: str, part_col: str = "part_id", coalesce_parts: bool = True
+    df: DataFrame,
+    path: str,
+    part_col: str = "part_id",
+    coalesce_parts: bool = True,
+    table_format: str | None = None,
 ) -> None:
     """Dynamic-partition-overwrite write: only touched partitions replaced.
 
@@ -44,6 +67,19 @@ def write_partitioned(
     """
     if coalesce_parts:
         df = df.repartition(F.col(part_col))
+    fmt = table_format if table_format is not None else TABLE_FORMAT
+    if fmt == "iceberg":
+        # `path` is a catalog table identifier in Iceberg mode (needs the
+        # iceberg-spark-runtime jar + a catalog — not present in this
+        # sandbox, so this branch is exercised on a real cluster only).
+        # overwritePartitions() is the idempotent resume path (snapshot
+        # commit replacing exactly the touched partitions); first write
+        # creates the partitioned table.
+        try:
+            df.writeTo(path).overwritePartitions()
+        except Exception:
+            df.writeTo(path).partitionedBy(F.col(part_col)).createOrReplace()
+        return
     (
         df.write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")

@@ -46,8 +46,33 @@ class KGPaths:
 
 def mention_id_expr() -> F.Column:
     """Deterministic mention id (never monotonically_increasing_id — must be
-    identical at any parallelism, SURVEY.md §7.4 risk 5)."""
+    identical at any parallelism, SURVEY.md §7.4 risk 5).
+
+    64-bit, so the birthday bound bites around ~4.3e9 distinct mentions
+    (ADVICE r1). Kept 64-bit deliberately — the id is the CC vertex / join
+    key and doubling its width doubles every graph-phase shuffle — but
+    guarded: ``audit_mention_ids`` verifies distinct(content) ==
+    distinct(id) on every committed partition set and aborts on collision;
+    at >1e9-mention scale, partition the graph phase by entity_type (ids
+    only need uniqueness within a CC domain) before reaching the bound.
+    """
     return F.xxhash64("repo", "path", "commit", "entity_type", "surface", "start", "end")
+
+
+def audit_mention_ids(mentions: DataFrame) -> tuple[int, int]:
+    """Collision audit (ADVICE r1): #distinct content tuples must equal
+    #distinct mention_ids. Two hash-agg passes, no driver data transfer;
+    raises on any silent id merge."""
+    row = mentions.agg(
+        F.count_distinct(F.struct(*MENTION_CONTENT_COLS)).alias("n_tuples"),
+        F.count_distinct(F.col("mention_id")).alias("n_ids"),
+    ).first()
+    if row["n_tuples"] != row["n_ids"]:
+        raise RuntimeError(
+            f"mention_id collision: {row['n_tuples']} distinct content "
+            f"tuples -> {row['n_ids']} distinct ids"
+        )
+    return row["n_tuples"], row["n_ids"]
 
 
 def run_extraction(
@@ -85,6 +110,7 @@ def run_extraction(
     written = spark.read.parquet(paths.mentions).filter(
         F.col("part_id").isin(part_ids)
     )
+    audit_mention_ids(written)
     rows = lineage.lineage_rows(written, STAGE_MENTIONS, MENTION_CONTENT_COLS)
     # zero-mention partitions: emit count-0 rows via anti-join
     universe = spark.createDataFrame(

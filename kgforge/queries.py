@@ -517,8 +517,11 @@ def q17_weighted_score(spark, sf_dir):
         F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
     )
     cnt = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    # stats is 1 row -> broadcast is always safe. cnt is |customers| rows —
+    # fact-cardinality, so NO broadcast hint: let AQE pick (it will broadcast
+    # while small and shuffle-join at scale instead of OOMing the driver).
     j = c.crossJoin(F.broadcast(stats)).join(
-        F.broadcast(cnt), c["c_custkey"] == cnt["o_custkey"], "left"
+        cnt, c["c_custkey"] == cnt["o_custkey"], "left"
     )
     bal_norm = F.least(
         F.lit(1.0),
@@ -778,6 +781,20 @@ def q24_simhash(spark, sf_dir):
     )
 
 
+@q("q41_simhash64_fast", None)
+def q41_simhash64_fast(spark, sf_dir):
+    """Scale-path SimHash (64-bit, one xxhash64 per token, materialized
+    hash array + scalar folds — measured 2.8x faster than the 16-bit md5
+    oracle shape at 4x the width) — the production twin of q24; rows-only
+    (DuckDB has no xxhash64). Deterministic."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        textops.with_simhash_fast(d, "text")
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @q(
     "q25_quality_scores",
     """
@@ -927,23 +944,27 @@ def q29_cosine_topk(spark, sf_dir):
     return vectorops.topk_cosine(e, list(qvec), 10)
 
 
+_BANDED_BUCKETS_SQL = "\nUNION ALL\n".join(
+    f"SELECT vec_id, embedding, {b} AS band, "
+    f"{vectorops.band_bucket_sql(b)} AS bucket FROM embeddings"
+    for b in range(vectorops.EMB_BANDS)
+)
+
+
 @q(
     "q30_lsh_buckets",
-    """
-    SELECT (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-          + CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END
-          + CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END
-          + CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END
-          + CASE WHEN embedding[33] > 0 THEN 16 ELSE 0 END) AS bucket,
-           count(*) AS n
-    FROM embeddings GROUP BY 1
+    f"""
+    WITH b AS ({_BANDED_BUCKETS_SQL})
+    SELECT band, bucket, count(*) AS n FROM b GROUP BY band, bucket
     """,
 )
 def q30_lsh_buckets(spark, sf_dir):
-    """Sign-LSH bucketing (the ANN scale path's blocking stage)."""
+    """Banded random-hyperplane LSH bucketing (the ANN blocking stage):
+    EMB_BANDS bands x EMB_ROWS Rademacher sign-bits per band, exactly
+    reproduced in the DuckDB oracle via decimal dot products."""
     e = t(spark, sf_dir, "embeddings")
-    return e.groupBy(
-        vectorops.sign_lsh_bucket(F.col("embedding")).alias("bucket")
+    return vectorops.with_band_buckets(e.select("vec_id", "embedding")).groupBy(
+        "band", "bucket"
     ).agg(F.count("*").alias("n"))
 
 
@@ -1106,41 +1127,43 @@ def q91_mention_extraction(spark, sf_dir):
 @q(
     "q34_embedding_neardup",
     f"""
-    WITH b AS (
-        SELECT vec_id, embedding,
-               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-              + CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END
-              + CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END
-              + CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END
-              + CASE WHEN embedding[33] > 0 THEN 16 ELSE 0 END) AS bucket
-        FROM embeddings
+    WITH b AS ({_BANDED_BUCKETS_SQL}),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+        FROM b l JOIN b r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
     )
-    SELECT a.vec_id AS a_id, q.vec_id AS b_id, round({_COS_SQL}, 6) AS cos_sim
-    FROM b a JOIN b q ON a.bucket = q.bucket AND a.vec_id < q.vec_id
+    SELECT a_id, b_id, round({_COS_SQL}, 6) AS cos_sim
+    FROM cand
+    JOIN embeddings a ON a.vec_id = a_id
+    JOIN embeddings q ON q.vec_id = b_id
     ORDER BY cos_sim DESC, a_id, b_id LIMIT 20
     """,
 )
 def q34_embedding_neardup(spark, sf_dir):
-    """Embedding near-dup: sign-LSH bucketed self-join (never O(n^2)) ->
-    exact cosine on candidates -> top-20 most similar pairs."""
-    e = t(spark, sf_dir, "embeddings").withColumn(
-        "bucket", vectorops.sign_lsh_bucket(F.col("embedding"))
+    """Embedding near-dup: banded sign-LSH blocked self-join (never
+    O(n^2); any-band match, AND-of-r bits within a band) -> exact cosine on
+    candidates -> top-20 pairs. Production variant with hot-bucket salting:
+    vectorops.embedding_candidate_pairs."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bb = vectorops.with_band_buckets(e)
+    l = bb.select("band", "bucket", F.col("vec_id").alias("a_id"))
+    r = bb.select(
+        "band", "bucket",
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vec_b"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
     )
-    cos = F.round(
-        vectorops.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+    withv = cand.join(
+        e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("vec_a")),
+        "a_id",
     )
+    cos = F.round(vectorops.cosine(F.col("vec_a"), F.col("vec_b")), 6)
     return (
-        pairs.select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            cos.alias("cos_sim"),
-        )
+        withv.select("a_id", "b_id", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "a_id", "b_id")
         .limit(20)
     )
@@ -1315,14 +1338,20 @@ def q93_doc_neardup_dedup(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     sh = textops.word_shingles(F.col("text"), 3)
-    sigs = None
-    for band in (0, 1):
-        s = d.select(
-            F.col("doc_id").alias("mention_id"),
-            textops.minhash_band_sig(sh, band).alias("sig"),
-            F.lit(band).alias("band"),
-        )
-        sigs = s if sigs is None else sigs.unionByName(s)
+    # production path: xxhash64 band signatures (minhash_band_sig_fast);
+    # the md5 twin stays in q22 where the DuckDB oracle needs it
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                textops.minhash_band_sig_fast(sh, band).alias("sig"),
+            )
+            for band in (0, 1)
+        ]
+    )
+    sigs = d.select(
+        F.col("doc_id").alias("mention_id"), F.explode(bands_arr).alias("bs")
+    ).select("mention_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, b = sigs.alias("a"), sigs.alias("b")
     edges = (
         a.join(

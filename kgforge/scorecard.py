@@ -20,9 +20,17 @@ from pyspark.sql import functions as F
 
 from kgforge.extract import extract_mentions, with_clean
 
-# reference weighting (config/config.py:14-19): activity, engagement, price
-WEIGHTS = {"posting": 0.4, "views": 0.4, "price": 0.2}
-NORM_CAPS = {"weekly_posts": 20.0, "avg_views": 40_000.0, "avg_price": 40_000.0}
+# Reference four-term formula, verbatim (config/config.py:14-19 weights;
+# metrics_calculator.py:106-109 caps): avg_views 0.4/5000, posting_frequency
+# 0.3/5, avg_price 0.2/10000, product_variety 0.1/50 (ADVICE r1: round 1
+# had tuned three-term weights while claiming reference parity).
+WEIGHTS = {"views": 0.4, "posting": 0.3, "price": 0.2, "variety": 0.1}
+NORM_CAPS = {
+    "avg_views": 5_000.0,
+    "weekly_posts": 5.0,
+    "avg_price": 10_000.0,
+    "product_variety": 50.0,
+}
 
 
 def posts_with_mentions(posts: DataFrame) -> DataFrame:
@@ -107,8 +115,9 @@ def vendor_metrics(posts: DataFrame, mentions: DataFrame) -> DataFrame:
 
 
 def lending_scores(metrics: DataFrame) -> DataFrame:
-    """F18/F19: clamped min-max normalize + weighted score, cap 100
-    (metrics_calculator.py:100-116)."""
+    """F18/F19: the reference's exact four-term weighted score
+    (metrics_calculator.py:100-116): clamp(value/cap) per term, weighted
+    sum * 100, capped at 100."""
 
     def norm(col, cap):
         return F.least(F.lit(1.0), F.greatest(F.lit(0.0), col / F.lit(cap)))
@@ -118,15 +127,18 @@ def lending_scores(metrics: DataFrame) -> DataFrame:
             F.lit(100.0),
             100.0
             * (
-                WEIGHTS["posting"]
-                * norm(F.coalesce(F.col("avg_weekly_posts"), F.lit(0.0)),
-                       NORM_CAPS["weekly_posts"])
-                + WEIGHTS["views"]
+                WEIGHTS["views"]
                 * norm(F.coalesce(F.col("avg_views"), F.lit(0.0)),
                        NORM_CAPS["avg_views"])
+                + WEIGHTS["posting"]
+                * norm(F.coalesce(F.col("avg_weekly_posts"), F.lit(0.0)),
+                       NORM_CAPS["weekly_posts"])
                 + WEIGHTS["price"]
                 * norm(F.coalesce(F.col("avg_price"), F.lit(0.0)),
                        NORM_CAPS["avg_price"])
+                + WEIGHTS["variety"]
+                * norm(F.coalesce(F.col("product_variety"), F.lit(0)).cast("double"),
+                       NORM_CAPS["product_variety"])
             ),
         ),
         4,

@@ -78,6 +78,67 @@ def simhash16(col: Column) -> Column:
     return out
 
 
+def minhash_band_sig_fast(
+    shingle_arr: Column, band: int, rows_per_band: int = 2
+) -> Column:
+    """Scale-path MinHash band signature: xxhash64 instead of md5 (~4x
+    cheaper, JVM long instead of 32-char string through every shuffle),
+    AND-combining ``rows_per_band`` independent min-hashes like
+    kgforge.link.minhash_blocks. Not DuckDB-expressible — the md5 twin
+    (minhash_band_sig) stays the oracle surface; this is what production
+    dedup (q41/q93 path) runs."""
+    mins = [
+        F.array_min(
+            F.transform(
+                shingle_arr,
+                lambda s, r=r: F.xxhash64(F.lit(band * rows_per_band + r), s),
+            )
+        )
+        for r in range(rows_per_band)
+    ]
+    return F.xxhash64(*mins)
+
+
+def with_simhash_fast(
+    df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = 64
+) -> DataFrame:
+    """Scale-path SimHash: ONE xxhash64 per token, MATERIALIZED as an
+    array<long> projection, then ``bits`` scalar aggregate folds that only
+    shift/mask the precomputed hash (bit b of the token hash votes +/-1).
+
+    Why this exact shape (all measured warm at sf0.1, local[8]):
+    - md5 inline in 16 folds (simhash16, the oracle shape): 5.8 s
+    - xxhash64 + array-accumulator zip_with fold: 11.4 s — allocating a
+      64-int array per token per row dominates
+    - xxhash64 materialized + 64 scalar folds (this): 2.1 s; 16-bit: 0.7 s
+    The materialization matters: Catalyst does not CSE across aggregate
+    lambdas, so the hash array must be a bound attribute from a previous
+    projection or every fold re-hashes every token (the same trap the
+    hoisted-md5 variant hit in round 1).
+    """
+    hashed = df.withColumn(
+        "_simhash_h", F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    )
+
+    def make_step(b: int):
+        def step(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return step
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(F.col("_simhash_h"), F.lit(0), make_step(b))
+        sig = sig.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return hashed.withColumn(out, sig).drop("_simhash_h")
+
+
 def stopword_ratio(col: Column) -> Column:
     toks = tokens(col)
     sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))

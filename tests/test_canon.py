@@ -32,6 +32,51 @@ def test_long_chain(spark):
     assert set(comp.values()) == {0}
 
 
+def test_chain_diameter_exceeding_linear_budget(spark):
+    """Pointer jumping converges in O(log2(diameter)) rounds: a 300-long
+    chain (diameter >> a linear 25-round budget, ADVICE r1 item 1) must
+    converge well inside max_iters=15 (2^15 >> 300)."""
+    n = 300
+    comp = _run_iters(spark, n, [(i, i + 1) for i in range(n - 1)], max_iters=15)
+    assert set(comp.values()) == {0}
+
+
+def _run_iters(spark, n, edge_list, max_iters):
+    v = spark.createDataFrame([(i,) for i in range(n)], "mention_id long")
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edge_list] or [],
+        "src long, dst long, sim double",
+    )
+    return {
+        r.mention_id: r.component_id
+        for r in connected_components(v, e, max_iters=max_iters).collect()
+    }
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """reliable=True uses fault-tolerant checkpoint() to the checkpoint dir
+    and produces identical assignments (VERDICT r1 item 4)."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    v = spark.createDataFrame([(i,) for i in range(10)], "mention_id long")
+    e = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(4)] + [(7, 8, 1.0)],
+        "src long, dst long, sim double",
+    )
+    rel = {
+        r.mention_id: r.component_id
+        for r in connected_components(v, e, reliable=True).collect()
+    }
+    loc = {
+        r.mention_id: r.component_id
+        for r in connected_components(v, e, reliable=False).collect()
+    }
+    assert rel == loc
+    assert set(rel[i] for i in range(5)) == {0}
+    # checkpoint files actually landed on the "reliable" FS
+    import os
+    assert any(os.scandir(str(tmp_path / "ckpt")))
+
+
 def test_permutation_invariance(spark):
     edges = [(0, 1), (1, 2), (5, 6)]
     comp_a = _run(spark, 8, edges)

@@ -57,6 +57,29 @@ def test_conll_roundtrip(spark, tmp_path):
     assert {tuple(r.tokens) for r in again.collect()} == set(rows)
 
 
+def test_conll_multifile_sent_ids_globally_unique(spark, tmp_path):
+    """Two files whose sentences share in-file indexes must NOT collide on
+    sent_id (ADVICE r1: multi-file glob corrupted span-join P/R counts)."""
+    (tmp_path / "a.conll").write_text("x\tO\n\ny\tB-LOC\n", encoding="utf-8")
+    (tmp_path / "b.conll").write_text("p\tO\n\nq\tB-LOC\n", encoding="utf-8")
+    df = read_conll(spark, str(tmp_path / "*.conll"))
+    rows = df.collect()
+    assert len(rows) == 4
+    assert len({r.sent_id for r in rows}) == 4  # globally unique
+    assert sorted(r.file_sent_id for r in rows) == [0, 0, 1, 1]
+
+
+def test_conll_line_order_preserved_exactly(spark, tmp_path):
+    """100-token sentence comes back in exact file order (posexplode line
+    positions, not monotonically_increasing_id)."""
+    toks = [f"t{i:03d}" for i in range(100)]
+    (tmp_path / "long.conll").write_text(
+        "".join(f"{t}\tO\n" for t in toks), encoding="utf-8"
+    )
+    r = read_conll(spark, str(tmp_path / "long.conll")).first()
+    assert r.tokens == toks
+
+
 def test_conll_space_delimited_and_malformed(spark, tmp_path):
     src = tmp_path / "sp.conll"
     src.write_text("tok1 O\nmalformedline\ntok2 B-LOC\n\n", encoding="utf-8")

@@ -126,3 +126,21 @@ def test_graph_phase_short_circuits_when_input_unchanged(spark, outdir):
     ldf2 = spark.read.parquet(f"{outdir}/lineage")
     assert ldf2.filter(F.col("stage") == "triples").count() == n_before
     assert triples.count() > 0
+
+
+def test_mention_id_audit_detects_collision(spark):
+    import pytest
+    from kgforge.pipeline import audit_mention_ids
+
+    base = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c1", "PRICE", "100", 0, 1, 11),
+            ("r1", "b.py", "c1", "PRICE", "200", 0, 1, 22),
+        ],
+        "repo string, path string, commit string, entity_type string, "
+        "surface string, start int, end int, mention_id long",
+    )
+    assert audit_mention_ids(base) == (2, 2)
+    collided = base.withColumn("mention_id", F.lit(7).cast("long"))
+    with pytest.raises(RuntimeError, match="collision"):
+        audit_mention_ids(collided)

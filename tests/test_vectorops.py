@@ -1,0 +1,73 @@
+"""Banded embedding LSH: bucket determinism + hot-bucket salting bounds.
+
+VERDICT r1 "What's wrong" #4: the embedding near-dup path must not let
+within-bucket candidate pairs grow ~n^2/buckets — banding adds selectivity
+(AND-of-r bits) and salting bounds the worst case (identical vectors, which
+no LSH can spread, are capped per salt group like kgforge.link hot blocks).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from kgforge import vectorops
+
+
+def _const_vecs(spark, n: int, dim: int = 64):
+    """n identical embeddings — the adversarial hot bucket."""
+    vec = F.array(*[F.lit(0.1 * ((d % 7) - 3)) for d in range(dim)])
+    return spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
+def test_identical_vectors_share_all_band_buckets(spark):
+    df = vectorops.with_band_buckets(_const_vecs(spark, 5))
+    per_band = df.groupBy("band").agg(F.countDistinct("bucket").alias("k")).collect()
+    assert len(per_band) == vectorops.EMB_BANDS
+    assert all(r["k"] == 1 for r in per_band)
+
+
+def test_salting_bounds_hot_bucket_pairs(spark):
+    n, max_block = 600, 100
+    docs = _const_vecs(spark, n)
+    pairs = vectorops.embedding_candidate_pairs(docs, max_block=max_block)
+    got = pairs.count()
+    # unsalted would be C(600,2) = 179,700 pairs; salting into ~n/max_block
+    # groups caps it near bands-independent ~ (n/max_block) * C(max_block,2)
+    assert 0 < got <= 45_000, got
+
+
+def test_candidate_pairs_deterministic(spark):
+    docs = _const_vecs(spark, 200).withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: x + (F.col("vec_id") % 3).cast("double") / 10.0,
+        ),
+    )
+    a = vectorops.embedding_candidate_pairs(docs, max_block=50)
+    ids1 = sorted((r["a_id"], r["b_id"]) for r in a.collect())
+    ids2 = sorted((r["a_id"], r["b_id"]) for r in a.collect())
+    assert ids1 == ids2 and ids1
+
+
+def test_bucket_width_scales_with_rows_param(spark):
+    """More rows/bits -> strictly finer partitioning on random-ish data."""
+    e = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.hash(F.col("id") * 64 + d) % 1000).cast("double") / 1000.0 - 0.5
+                for d in range(64)
+            ]
+        ).alias("embedding"),
+    )
+    coarse = (
+        vectorops.with_band_buckets(e, bands=1, rows=4)
+        .groupBy("bucket").count().count()
+    )
+    fine = (
+        vectorops.with_band_buckets(e, bands=1, rows=10)
+        .groupBy("bucket").count().count()
+    )
+    assert fine > coarse

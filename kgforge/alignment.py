@@ -77,3 +77,81 @@ def whitespace_word_ids(tokens: list[str], max_len: int | None = None) -> list[i
     if max_len is not None:
         ids = ids[:max_len]
     return ids
+
+
+# ---------------------------------------------------------------------------
+# Tokenized-training-rows production (train_ner.py:252-303 + :358-363)
+# ---------------------------------------------------------------------------
+
+CLS_ID, SEP_ID, VOCAB_SIZE = 0, 2, 250_002  # XLM-R-style special ids
+
+
+def subword_input_ids(
+    tokens: list[str], word_ids: list[int | None]
+) -> list[int]:
+    """Deterministic stand-in vocabulary lookup: input_id for a subword =
+    crc32(token|occurrence) mapped into the vocab range, specials CLS/SEP.
+    A real SentencePiece tokenizer replaces this function AND
+    whitespace_word_ids together; everything downstream (alignment, the
+    Spark job's schema and batching) is tokenizer-agnostic."""
+    import zlib
+
+    out: list[int] = []
+    seen: dict[int, int] = {}
+    for pos, widx in enumerate(word_ids):
+        if widx is None:
+            out.append(CLS_ID if pos == 0 else SEP_ID)
+            continue
+        nth = seen.get(widx, 0)
+        seen[widx] = nth + 1
+        tok = tokens[widx] if widx < len(tokens) else ""
+        h = zlib.crc32(f"{tok}|{nth}".encode("utf-8"))
+        out.append(3 + h % (VOCAB_SIZE - 3))
+    return out
+
+
+def tokenized_training_rows(sentences, max_len: int = 128):
+    """(sent_id, tokens, tags) -> (sent_id, input_ids, labels) — the
+    training-data relation the reference materializes as an HF Dataset
+    (train_ner.py:252-303 tokenize_and_align_labels + :358-363 set_format),
+    produced as ONE mapInPandas pass (Arrow batches, model-free, no
+    shuffle). labels carry the -100 sentinel exactly as align_labels
+    specifies (first-subword label, B->I continuation, specials ignored)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("sent_id", LongType()),
+            StructField("input_ids", ArrayType(IntegerType())),
+            StructField("labels", ArrayType(IntegerType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, toks, tags in zip(
+                pdf["sent_id"], pdf["tokens"], pdf["tags"]
+            ):
+                toks = list(toks)
+                tags = list(tags)
+                wids = whitespace_word_ids(toks, max_len)
+                rows.append(
+                    (
+                        int(sid),
+                        subword_input_ids(toks, wids),
+                        align_labels(wids, tags),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["sent_id", "input_ids", "labels"]
+            )
+
+    return sentences.select("sent_id", "tokens", "tags").mapInPandas(
+        run, schema=schema
+    )

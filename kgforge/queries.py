@@ -1383,6 +1383,103 @@ def q93_doc_neardup_dedup(spark, sf_dir):
     )
 
 
+_Q42_CANDIDATES = [
+    # the reference's comparison table shape (compare_model.py:430-440):
+    # model, f1, inference_ms, size_mb, train_min
+    ("afroxlmr-large", 0.9231, 31.0, 2200.0, 96.0),
+    ("xlmr-base", 0.9045, 17.0, 1100.0, 54.0),
+    ("mbert-cased", 0.8712, 14.0, 680.0, 47.0),
+    ("distil-mbert", 0.8423, 9.0, 540.0, 31.0),
+    ("afro-xlmr-mini", 0.8120, 6.0, 290.0, 22.0),
+]
+_Q42_VALUES = ", ".join(
+    f"('{m}', {f1}, {ms}, {mb}, {mins})" for m, f1, ms, mb, mins in _Q42_CANDIDATES
+)
+
+
+@q(
+    "q42_model_score_ranking",
+    f"""
+    WITH cand(model, f1, inference_ms, size_mb, train_min) AS (
+        VALUES {_Q42_VALUES}
+    ), scored AS (
+        SELECT model,
+               round(0.5 * f1
+                   + 0.2 * (1 - inference_ms / max(inference_ms) OVER ())
+                   + 0.2 * (1 - size_mb / max(size_mb) OVER ())
+                   + 0.1 * (1 - train_min / max(train_min) OVER ()), 6)
+                 AS weighted_score
+        FROM cand
+    )
+    SELECT model, weighted_score,
+           row_number() OVER (ORDER BY weighted_score DESC, model) AS rank
+    FROM scored ORDER BY rank
+    """,
+)
+def q42_model_score_ranking(spark, sf_dir):
+    """Model-comparison weighted-score ranking (compare_model.py:473-481
+    formula verbatim: 0.5*F1 + 0.2*speed + 0.2*size + 0.1*time, each cost
+    max-normalized over the candidate set) — the SQL-expressible half of
+    the comparison harness (kgforge.compare; full distributed-eval variant:
+    q95)."""
+    from kgforge.compare import weighted_ranking
+
+    cand = spark.createDataFrame(
+        _Q42_CANDIDATES, "model string, f1 double, inference_ms double, "
+        "size_mb double, train_min double"
+    )
+    ranked = weighted_ranking(cand)
+    return ranked.select(
+        "model", "weighted_score", F.col("rank").cast("long").alias("rank")
+    ).orderBy("rank")
+
+
+@q("q94_eval_report", None)
+def q94_eval_report(spark, sf_dir):
+    """Evaluation-report job composition (interpret.py analogue, rows-only):
+    golden (repaired) vs predicted (raw) tags over a deterministic synth
+    corpus -> true->pred confusion histogram (the report's error_confusions
+    table; full artifact: jobs/run_interpret.py)."""
+    from kgforge.jobs.run_interpret import golden_and_predicted
+    from kgforge.metrics import error_cases
+    from kgforge.report import error_confusions
+
+    golden, predicted = golden_and_predicted(spark, None, 200)
+    return error_confusions(error_cases(golden, predicted))
+
+
+@q("q95_model_comparison", None)
+def q95_model_comparison(spark, sf_dir):
+    """Full model-comparison harness (rows-only): N stand-in candidates,
+    each span-evaluated DISTRIBUTED against the golden corpus, then the
+    reference's weighted-score ranking — winner = rank 1."""
+    from kgforge.compare import compare_models
+    from kgforge.jobs.run_interpret import golden_and_predicted
+
+    golden, _ = golden_and_predicted(spark, None, 200)
+    return compare_models(spark, golden)
+
+
+@q("q96_tokenized_rows", None)
+def q96_tokenized_rows(spark, sf_dir):
+    """Tokenized-training-rows production (train_ner.py:252-303 analogue,
+    rows-only): (sent_id, input_ids, labels) via one mapInPandas pass,
+    summarized as the per-label supervised-position histogram (the -100
+    sentinel positions excluded, like the reference's loss mask)."""
+    from kgforge.alignment import tokenized_training_rows
+    from kgforge.jobs.run_interpret import golden_and_predicted
+
+    sentences, _ = golden_and_predicted(spark, None, 200)
+    rows = tokenized_training_rows(sentences)
+    return (
+        rows.select(F.explode("labels").alias("label_id"))
+        .filter(F.col("label_id") != -100)
+        .groupBy("label_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label_id")
+    )
+
+
 @q(
     "q40_asof_join",
     """

@@ -944,6 +944,56 @@ def q29_cosine_topk(spark, sf_dir):
     return vectorops.topk_cosine(e, list(qvec), 10)
 
 
+def _cos_sql(x: str, y: str) -> str:
+    """Parameterized DuckDB cosine between two list<float> expressions."""
+    return f"""(
+    list_sum(list_transform(range(1, len({x}) + 1),
+             i -> {x}[i]::double * {y}[i]::double))
+    / (sqrt(list_sum(list_transform(range(1, len({x}) + 1),
+             i -> {x}[i]::double * {x}[i]::double)))
+     * sqrt(list_sum(list_transform(range(1, len({y}) + 1),
+             i -> {y}[i]::double * {y}[i]::double)))))"""
+
+
+@q(
+    "q43_ivf_topk",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+        ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 16
+    ), qtab AS (
+        SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               round({_cos_sql('e.embedding', 'c.c_vec')}, 6) AS cs
+        FROM embeddings e CROSS JOIN cent c
+    ), assign AS (
+        SELECT vec_id, embedding, c_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), probe AS (
+        SELECT c_id FROM cent, qtab
+        ORDER BY round({_cos_sql('c_vec', 'q_vec')}, 6) DESC, c_id LIMIT 4
+    )
+    SELECT a.vec_id, round({_cos_sql('a.embedding', 'q_vec')}, 6) AS cos_sim
+    FROM assign a JOIN probe USING (c_id) CROSS JOIN qtab
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    """,
+)
+def q43_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN search (the brief's other scale path next to LSH):
+    deterministic centroid sample -> map-only nearest-centroid assignment
+    (broadcast of k centroids, the one correct explicit broadcast) -> probe
+    the nprobe nearest cells -> exact cosine top-k within ~nprobe/k of the
+    corpus. vectorops.ivf_* documents the 100 TB layout (assignment
+    bucketed by cell -> partition-pruned probes)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return vectorops.ivf_topk(e, list(qvec), k=10, n_centroids=16, nprobe=4)
+
+
 _BANDED_BUCKETS_SQL = "\nUNION ALL\n".join(
     f"SELECT vec_id, embedding, {b} AS band, "
     f"{vectorops.band_bucket_sql(b)} AS bucket FROM embeddings"

@@ -158,6 +158,77 @@ def with_band_buckets(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other scale path the brief names
+# ---------------------------------------------------------------------------
+#
+# Plan shape at 100 TB: (1) centroids — k rows, tiny, ALWAYS broadcastable;
+# here picked deterministically (md5-ordered sample — oracle-checkable); on
+# a real deployment k-means (MLlib) produces them, the downstream plan is
+# identical. (2) assignment — map-only cross join of every vector with the
+# broadcast centroid table, argmin by cosine: no shuffle of the big side;
+# materialized once as a table partitioned/bucketed by cell so (3) queries
+# scan ONLY the nprobe probed cells (partition pruning), i.e. nprobe/k of
+# the corpus instead of all of it. Recall is tunable with nprobe, exactly
+# like FAISS IVF-Flat.
+
+
+def ivf_centroids(embeddings: DataFrame, k: int = 16) -> DataFrame:
+    """Deterministic centroid sample: k vectors in md5(vec_id) order (a
+    seeded uniform sample both Spark and DuckDB reproduce bit-identically)."""
+    return (
+        embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, ties by
+    c_id). Broadcast of the centroid table is bounded by k — this is the
+    one place an explicit broadcast hint is correct."""
+    from pyspark.sql import Window
+
+    j = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cos", F.round(cosine(F.col("embedding"), F.col("c_vec")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("c_id"))
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "c_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-Flat search: probe the nprobe cells nearest the query, exact
+    cosine within them, top-k. Scans ~nprobe/n_centroids of the corpus."""
+    cent = ivf_centroids(embeddings, n_centroids)
+    assign = ivf_assign(embeddings, cent)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    probes = (
+        cent.withColumn("_cos", F.round(cosine(F.col("c_vec"), qcol), 6))
+        .orderBy(F.col("_cos").desc(), "c_id")
+        .limit(nprobe)
+        .select("c_id")
+    )
+    return (
+        assign.join(F.broadcast(probes), "c_id")
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), qcol), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def embedding_candidate_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -51,6 +51,34 @@ def test_candidate_pairs_deterministic(spark):
     assert ids1 == ids2 and ids1
 
 
+def test_ivf_topk_probes_find_query_and_overlap_bruteforce(spark):
+    """IVF search on the real embeddings table: the query vector's own cell
+    is always probe #1 (so the query itself is rank 1 with cos 1.0), and
+    the nprobe=4/16 result overlaps brute-force top-10 substantially."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    ivf = vectorops.ivf_topk(e, qvec, k=10, n_centroids=16, nprobe=4).collect()
+    assert ivf[0]["vec_id"] == 0 and ivf[0]["cos_sim"] == 1.0
+    bf = {r["vec_id"] for r in vectorops.topk_cosine(e, qvec, 10).collect()}
+    assert len({r["vec_id"] for r in ivf} & bf) >= 4
+
+
+def test_ivf_assignment_is_total_and_deterministic(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cent = vectorops.ivf_centroids(e, 16)
+    assert cent.count() == 16
+    a1 = vectorops.ivf_assign(e, cent)
+    n = e.count()
+    assert a1.count() == n  # every vector lands in exactly one cell
+    m1 = dict((r["vec_id"], r["c_id"]) for r in a1.collect())
+    m2 = dict((r["vec_id"], r["c_id"]) for r in vectorops.ivf_assign(e, cent).collect())
+    assert m1 == m2
+
+
 def test_bucket_width_scales_with_rows_param(spark):
     """More rows/bits -> strictly finer partitioning on random-ish data."""
     e = spark.range(400).select(

@@ -994,6 +994,60 @@ def q43_ivf_topk(spark, sf_dir):
     return vectorops.ivf_topk(e, list(qvec), k=10, n_centroids=16, nprobe=4)
 
 
+def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB twin of vectorops.kmeans_fixed: the same fixed rounds
+    unrolled as CTEs (assignment = argmax-cosine row_number; centroid
+    update = exact-decimal positional means, the q31 technique)."""
+    ctes = [
+        f"""cent0 AS (
+        SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+        ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT {k})"""
+    ]
+    for r in range(iters):
+        ctes.append(f"""assign{r} AS (
+        SELECT vec_id, c_id FROM (
+            SELECT e.vec_id, c.c_id, row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY round({_cos_sql('e.embedding', 'c.c_vec')}, 6) DESC,
+                         c.c_id) AS rn
+            FROM embeddings e CROSS JOIN cent{r} c
+        ) WHERE rn = 1)""")
+        ctes.append(f"""cent{r + 1} AS (
+        SELECT c_id, list(c ORDER BY pos) AS c_vec FROM (
+            SELECT a.c_id, u.pos,
+                   sum(cast(round(e.embedding[u.pos], 6) as decimal(18,6)))::double
+                     / count(*) AS c
+            FROM assign{r} a
+            JOIN embeddings e USING (vec_id),
+                 unnest(range(1, len(e.embedding) + 1)) AS u(pos)
+            GROUP BY a.c_id, u.pos
+        ) GROUP BY c_id)""")
+    ctes.append(f"""final_assign AS (
+        SELECT vec_id, c_id FROM (
+            SELECT e.vec_id, c.c_id, row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY round({_cos_sql('e.embedding', 'c.c_vec')}, 6) DESC,
+                         c.c_id) AS rn
+            FROM embeddings e CROSS JOIN cent{iters} c
+        ) WHERE rn = 1)""")
+    return "WITH " + ",\n".join(ctes) + """
+    SELECT c_id, count(*) AS n FROM final_assign GROUP BY c_id"""
+
+
+@q("q44_kmeans_clusters", _kmeans_sql())
+def q44_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means (A14 completion — the embedding-clustering
+    operator): 3 fixed Lloyd rounds, k=8, deterministic md5-ordered init,
+    broadcast-k assignment + exact-decimal positional-mean update; output
+    = final cluster sizes, oracle-checked against the same rounds unrolled
+    in DuckDB. Production variant loops to epsilon (vectorops.kmeans_fixed
+    docstring)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return vectorops.kmeans_fixed(e, k=8, iters=3).groupBy("c_id").agg(
+        F.count("*").alias("n")
+    )
+
+
 _BANDED_BUCKETS_SQL = "\nUNION ALL\n".join(
     f"SELECT vec_id, embedding, {b} AS band, "
     f"{vectorops.band_bucket_sql(b)} AS bucket FROM embeddings"

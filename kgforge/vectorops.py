@@ -187,17 +187,7 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, ties by
     c_id). Broadcast of the centroid table is bounded by k — this is the
     one place an explicit broadcast hint is correct."""
-    from pyspark.sql import Window
-
-    j = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
-        "_cos", F.round(cosine(F.col("embedding"), F.col("c_vec")), 6)
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("c_id"))
-    return (
-        j.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "c_id")
-    )
+    return _assign_to(embeddings, centroids, keep_embedding=True)
 
 
 def ivf_topk(
@@ -226,6 +216,70 @@ def ivf_topk(
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (A14 completion: embedding clustering, HDBSCAN's
+# data-flow analogue expressed as iterative DataFrame rounds)
+# ---------------------------------------------------------------------------
+
+
+def _dec_mean_centroids(assigned: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """Per-cluster centroid = per-position mean via exact decimal sums
+    (posexplode -> group avg -> re-assemble ordered array): deterministic
+    across engines and partition orders — the q31 technique."""
+    flat = assigned.select(
+        "c_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "c_id",
+        "pos",
+        F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)").alias("v"),
+    )
+    per_pos = flat.groupBy("c_id", "pos").agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("c")
+    )
+    return per_pos.groupBy("c_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("c_vec")
+    )
+
+
+def kmeans_fixed(
+    embeddings: DataFrame, k: int = 8, iters: int = 3, dim: int = EMB_DIM
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over (vec_id, embedding), cosine
+    assignment, deterministic md5-ordered init — every round is one
+    broadcast-k cross join (assignment, map-only on the big side) + one
+    positional-mean agg (two shuffles bounded by k*dim rows). Fixed
+    ``iters`` instead of a convergence loop keeps the whole computation
+    ORACLE-CHECKABLE (the DuckDB twin unrolls the same rounds); the
+    production variant loops to a centroid-shift epsilon with the same
+    per-round plan. Returns (vec_id, c_id) final assignments."""
+    cent = ivf_centroids(embeddings, k)  # (c_id, c_vec), c_id = seed vec_id
+    for _ in range(iters):
+        assigned = _assign_to(embeddings, cent, keep_embedding=True)
+        cent = _dec_mean_centroids(assigned.select("c_id", "embedding"), dim)
+    return _assign_to(embeddings, cent)
+
+
+def _assign_to(
+    embeddings: DataFrame, centroids: DataFrame, keep_embedding: bool = False
+) -> DataFrame:
+    """(vec_id, embedding) x (c_id, c_vec) -> nearest-centroid assignment.
+    Ties broken by c_id; cosine rounded to 6dp for cross-engine exactness."""
+    from pyspark.sql import Window
+
+    j = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cos", F.round(cosine(F.col("embedding"), F.col("c_vec")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("c_id"))
+    cols = ["vec_id", "embedding", "c_id"] if keep_embedding else ["vec_id", "c_id"]
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*cols)
     )
 
 

@@ -79,6 +79,24 @@ def test_ivf_assignment_is_total_and_deterministic(spark):
     assert m1 == m2
 
 
+def test_kmeans_partitions_all_vectors_deterministically(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = e.count()
+    a = vectorops.kmeans_fixed(e, k=8, iters=2)
+    rows = a.collect()
+    assert len(rows) == n  # total partition of the corpus
+    sizes = (
+        vectorops.kmeans_fixed(e, k=8, iters=2).groupBy("c_id").count().collect()
+    )
+    assert 2 <= len(sizes) <= 8
+    # deterministic across reruns and parallelism
+    b = {r["vec_id"]: r["c_id"] for r in vectorops.kmeans_fixed(
+        e.repartition(13), k=8, iters=2).collect()}
+    assert {r["vec_id"]: r["c_id"] for r in rows} == b
+
+
 def test_bucket_width_scales_with_rows_param(spark):
     """More rows/bits -> strictly finer partitioning on random-ish data."""
     e = spark.range(400).select(

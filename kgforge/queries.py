@@ -796,6 +796,174 @@ def q41_simhash64_fast(spark, sf_dir):
 
 
 @q(
+    "q45_stratified_sample",
+    """
+    SELECT source, count(*) AS n_kept
+    FROM documents
+    WHERE md5(cast(doc_id AS varchar)) <
+          CASE source WHEN 'src0' THEN '8' WHEN 'src1' THEN '4' ELSE '1a' END
+    GROUP BY source
+    """,
+)
+def q45_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (training-data domain mixing):
+    keep a doc iff md5(doc_id) falls under its source's rate threshold
+    (50% / 25% / ~10%) — hash-threshold sampling is reproducible across
+    engines, runs, and partitionings, unlike rand()-based TABLESAMPLE, and
+    is exactly how corpus mixture weights are applied at 100 TB (pure
+    map-side filter, no shuffle)."""
+    d = t(spark, sf_dir, "documents")
+    thr = (
+        F.when(F.col("source") == "src0", F.lit("8"))
+        .when(F.col("source") == "src1", F.lit("4"))
+        .otherwise(F.lit("1a"))
+    )
+    return (
+        d.filter(F.md5(F.col("doc_id").cast("string")) < thr)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+@q(
+    "q46_sequence_packing",
+    """
+    WITH sized AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT lang, doc_id, n_tokens,
+               floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0)::bigint
+                 AS pack_id
+        FROM sized
+    ), packs AS (
+        SELECT lang, pack_id, count(*) AS n_docs,
+               sum(n_tokens)::bigint AS n_tokens
+        FROM packed GROUP BY lang, pack_id
+    )
+    SELECT lang, count(*) AS n_packs, max(n_tokens) AS max_pack_tokens,
+           round(avg(n_docs), 4) AS avg_docs_per_pack
+    FROM packs GROUP BY lang
+    """,
+)
+def q46_sequence_packing(spark, sf_dir):
+    """Sequence packing (context-window assembly for LLM training): docs
+    packed into ~2048-token budgets per language in doc_id order via ONE
+    window cumulative sum — pack_id = floor((cumsum - n)/budget). At scale
+    the window partitions by (lang, shard) so no global sort exists."""
+    d = t(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = sized.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0),
+    )
+    packs = packed.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    return packs.groupBy("lang").agg(
+        F.count("*").alias("n_packs"),
+        F.max("n_tokens").alias("max_pack_tokens"),
+        F.round(F.avg("n_docs"), 4).alias("avg_docs_per_pack"),
+    )
+
+
+_EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_LONGNUM_PAT = r"[0-9]{9,}"
+
+
+@q(
+    "q47_pii_redaction",
+    f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || cast(doc_id AS varchar)
+                         || '@example.com or call 09' || cast(doc_id AS varchar)
+                         || '1234567'
+                    ELSE '' END AS text
+        FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           sum(len(regexp_extract_all(text, '{_EMAIL_PAT}')))::bigint AS n_emails,
+           sum(len(regexp_extract_all(text, '{_LONGNUM_PAT}')))::bigint AS n_longnums,
+           sum(CASE WHEN regexp_replace(regexp_replace(text,
+                     '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                     '{_LONGNUM_PAT}', '<NUM>', 'g') <> text
+                    THEN 1 ELSE 0 END)::bigint AS n_redacted_docs
+    FROM aug
+    """,
+)
+def q47_pii_redaction(spark, sf_dir):
+    """PII scrubbing (training-data hygiene): email + long-number redaction
+    via regexp_replace chains, counted per corpus. The synthetic corpus is
+    PII-free, so a deterministic augmentation (every 7th doc gets an email
+    + phone) makes the oracle non-trivial. Pure Catalyst, map-only."""
+    d = t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com or call 09"),
+                    F.col("doc_id").cast("string"), F.lit("1234567"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_PAT, "<EMAIL>"),
+        _LONGNUM_PAT,
+        "<NUM>",
+    )
+    return aug.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(_EMAIL_PAT), 0))).alias(
+            "n_emails"
+        ),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(_LONGNUM_PAT), 0))).alias(
+            "n_longnums"
+        ),
+        F.sum(F.when(redacted != F.col("text"), 1).otherwise(0)).alias(
+            "n_redacted_docs"
+        ),
+    )
+
+
+@q(
+    "q48_length_percentiles",
+    """
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q48_length_percentiles(spark, sf_dir):
+    """Exact length percentiles per language (corpus QC): Spark
+    percentile() and DuckDB quantile_cont share the linear-interpolation
+    definition, so the oracle is exact. At 100 TB swap percentile_approx
+    (t-digest) in — deliberately NOT oracle'd (algorithm-dependent)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 4).alias("p99"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@q(
     "q25_quality_scores",
     """
     SELECT doc_id,

@@ -47,6 +47,49 @@ def stream_extract(
     q.awaitTermination()
 
 
+def stream_dedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    delay: str = "10 minutes",
+) -> None:
+    """Streaming exact dedup for continuous corpus ingest (the training-
+    data pipeline's arrival-time dedup): duplicate content arriving within
+    the watermark window is emitted once, keyed by sha2(content) —
+    ``dropDuplicatesWithinWatermark`` keeps state bounded (keys older than
+    the watermark are evicted), unlike an unbounded dropDuplicates whose
+    state grows with the corpus. Re-run with the same checkpoint resumes
+    exactly-once."""
+    sdf = (
+        spark.readStream.schema(SOURCE_FILES)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    # event time = a deterministic per-row timestamp derived from the key
+    # columns (the synth corpus has no arrival column; a real feed uses its
+    # ingest timestamp here)
+    with_ts = sdf.withColumn(
+        "event_ts",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.pmod(F.xxhash64("repo", "path"), F.lit(3600))
+        ),
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    deduped = with_ts.withWatermark("event_ts", delay).dropDuplicatesWithinWatermark(
+        ["content_sha256"]
+    )
+    q = (
+        deduped.select("repo", "path", "content_sha256", "event_ts")
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def running_repo_counts(
     spark: SparkSession,
     input_dir: str,

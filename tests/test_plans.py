@@ -104,6 +104,24 @@ def test_no_broadcast_of_fact_cardinality_sides(spark):
     assert "Window" in physical
 
 
+def test_stratified_sample_filter_is_map_side(spark):
+    """q45's hash-threshold predicate must reach the scan's DataFilters —
+    a sampling operator that shuffles before filtering is wrong."""
+    plan = plan_of(spark, "q45_stratified_sample")
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "md5" in scan, scan
+
+
+def test_ivf_argmin_is_partial_group_limit(spark):
+    """q43's nearest-centroid row_number must be optimized into a PARTIAL
+    WindowGroupLimit before the exchange (map-side argmin: one row per
+    vector shuffles, not k) and the final top-k must be
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, "q43_ivf_topk")
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_mention_table_partition_pruning(spark, tmp_path):
     """part_id filter on the written mention table prunes directories."""
     from kgforge.pipeline import KGPaths, run_extraction

@@ -105,3 +105,24 @@ def test_watermarked_window_agg(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate content arriving in-stream is emitted once; state stays
+    bounded by the watermark (dropDuplicatesWithinWatermark)."""
+    from kgforge.streaming import stream_dedup_ingest
+    from kgforge.synth import synth_source_files
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = synth_source_files(spark, 60)
+    dupes = base.limit(20).withColumn("path", F.concat(F.col("path"), F.lit("")))
+    # same content under the same key columns -> duplicate sha256 rows
+    base.unionByName(dupes).write.mode("overwrite").parquet(input_dir)
+
+    stream_dedup_ingest(spark, input_dir, out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+    n_distinct = base.select(F.sha2("content", 256)).distinct().count()
+    assert out.count() == n_distinct
+    assert out.select("content_sha256").distinct().count() == n_distinct

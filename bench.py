@@ -181,6 +181,44 @@ def _md5_worker(dur: float, out):
     out.put(n)
 
 
+def _mem_worker(dur: float, out):
+    import numpy as np
+
+    buf = np.arange(64 * 1024 * 1024 // 8, dtype=np.int64)
+    t0 = time.time()
+    n = 0
+    acc = 0
+    while time.time() - t0 < dur:
+        acc ^= int(buf.sum() & 0xFFFF)  # full 64MB scan per iteration
+        n += 1
+    out.put(n)
+
+
+def mem_bandwidth_probe(lo: int, hi: int, dur: float = 3.0) -> dict:
+    """STREAM-like multiprocess memory-bandwidth probe at the same lo/hi
+    parallelism: the extraction workload is memory-heavy, so this is the
+    ceiling that the cache-resident md5 probe cannot see."""
+    import multiprocessing as mp
+
+    def rate(nproc: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=_mem_worker, args=(dur, q)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return total / dur * 64 / 1024  # GB/s aggregate
+
+    r_lo, r_hi = rate(lo), rate(hi)
+    return {
+        "metric": "memory_scan_gb_per_sec",
+        "procs": [lo, hi],
+        "rates_gbps": [round(r_lo, 2), round(r_hi, 2)],
+        "efficiency": round((r_hi / r_lo) / (hi / lo), 3),
+    }
+
+
 def host_ceiling_probe(lo: int, hi: int, dur: float = 3.0) -> dict:
     """Pure-CPU multiprocess md5 at the same lo/hi parallelism as the bench
     legs: the host's own scaling ceiling, measured in the same run."""
@@ -214,16 +252,31 @@ class PairSchedule:
     this VM). Sampling all rounds back-to-back risks the entire measurement
     landing in one such window; interleaving rounds between the other bench
     sections spreads the sample span to ~15 minutes so the median straddles
-    weather."""
+    weather.
 
-    def __init__(self, lo: int, hi: int, corpus: str):
+    Additionally, a leg's throughput is CORRELATED for the lifetime of its
+    JVM (the reused python worker inherits its placement luck — observed:
+    all six local[2] trials of one bench at 4.4k files/s, all six of the
+    next at 7.2k, stable within each). Each leg is therefore RESTARTED
+    mid-schedule so the pooled trials sample at least two independent
+    worker placements per leg."""
+
+    def __init__(self, lo: int, hi: int, corpus: str, rounds: int):
         self.lo, self.hi = lo, hi
+        self.corpus = corpus
+        self.restart_after = max(2, rounds // 2)
         self.lo_leg, self.hi_leg = Leg(lo, corpus), Leg(hi, corpus)
         self.n_files = self.lo_leg.ready["files"]
         self.lo_t: list[float] = []
         self.hi_t: list[float] = []
 
     def round(self):
+        if len(self.lo_t) == self.restart_after:
+            log(f"  scaling [{self.lo}v{self.hi}]: restarting legs "
+                "(fresh JVM + worker placement)")
+            self.close()
+            self.lo_leg = Leg(self.lo, self.corpus)
+            self.hi_leg = Leg(self.hi, self.corpus)
         a = self.lo_leg.run()
         b = self.hi_leg.run()
         self.lo_t.append(a["sec"])
@@ -250,6 +303,7 @@ class PairSchedule:
         eff_capacity = (max(fps_hi) / max(fps_lo)) / ratio
 
         ceiling = host_ceiling_probe(lo, hi)
+        mem_ceiling = mem_bandwidth_probe(lo, hi)
         eff = round(eff_raw, 3)
         return {
             "cores": [lo, hi],
@@ -267,9 +321,14 @@ class PairSchedule:
             "efficiency_paired_median": round(eff_paired, 3),
             "efficiency_capacity": round(eff_capacity, 3),
             "host_ceiling_control": ceiling,
+            "mem_bandwidth_control": mem_ceiling,
             "efficiency_vs_host_ceiling": (
                 round(eff / ceiling["efficiency"], 3)
                 if ceiling["efficiency"] > 0 else None
+            ),
+            "efficiency_vs_mem_ceiling": (
+                round(eff / mem_ceiling["efficiency"], 3)
+                if mem_ceiling["efficiency"] > 0 else None
             ),
         }
 
@@ -323,7 +382,7 @@ def main() -> int:
     # bench sections to spread the sample span across the whole run
     log(f"scaling legs: local[{LO_CORES}]/local[{HI_CORES}] primary, "
         f"local[{SAT_LO}]/local[{SAT_HI}] saturated, on {SCALE_CORPUS}")
-    primary = PairSchedule(LO_CORES, HI_CORES, SCALE_CORPUS)
+    primary = PairSchedule(LO_CORES, HI_CORES, SCALE_CORPUS, ROUNDS)
     primary.round()
     primary.round()
 
@@ -346,7 +405,7 @@ def main() -> int:
         primary.round()
     primary.close()
 
-    saturated = PairSchedule(SAT_LO, SAT_HI, SCALE_CORPUS)
+    saturated = PairSchedule(SAT_LO, SAT_HI, SCALE_CORPUS, SAT_ROUNDS + 1)
     for _ in range(SAT_ROUNDS):
         saturated.round()
     saturated.close()

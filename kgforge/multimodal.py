@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -190,6 +191,48 @@ MEDIA_FEATURES = StructType(
         StructField("features", ArrayType(DoubleType()), False),
     ]
 )
+
+
+def read_zip_members(spark, path_glob: str) -> DataFrame:
+    """ZIP archive SOURCE (S10 territory, real stdlib zipfile): binaryFile
+    scan of archives -> mapInPandas unpack -> one row per member
+    (archive, member, n_bytes, payload). The reference walks image folders
+    and zips artifacts (data_cleaner.py:102-182); here the archive itself
+    is a first-class scannable container. Each archive is one task —
+    archives parallelize across executors; a single mega-archive should be
+    split upstream (same contract as the CoNLL wholetext scan)."""
+    import zipfile
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    schema = StructType(
+        [
+            StructField("archive", StringType(), False),
+            StructField("member", StringType(), False),
+            StructField("n_bytes", IntegerType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(bytes(blob)))
+                except zipfile.BadZipFile:
+                    continue  # skip-on-error, like the OCR loop
+                for info in zf.infolist():
+                    if info.is_dir():
+                        continue
+                    data = zf.read(info.filename)
+                    rows.append((p, info.filename, len(data), bytearray(data)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["archive", "member", "n_bytes", "payload"]
+                )
+
+    return files.select("path", "content").mapInPandas(run, schema=schema)
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

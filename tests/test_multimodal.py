@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from kgforge.multimodal import (
     decode_ppm,
@@ -83,3 +84,32 @@ def test_spark_media_features_parallelism_invariant(spark):
     fa = {r.doc_id: r.features for r in extract_media_features(a).collect()}
     fb = {r.doc_id: r.features for r in extract_media_features(b).collect()}
     assert fa == fb and len(fa) == 24
+
+
+def test_zip_source_reads_members_and_skips_bad_archives(spark, tmp_path):
+    """ZIP archive source: archives -> one row per member; corrupt archives
+    skipped; media members decodable end-to-end (zip -> decode_real)."""
+    import zipfile
+
+    from kgforge.multimodal import read_zip_members
+
+    zdir = tmp_path / "zips"
+    zdir.mkdir()
+    with zipfile.ZipFile(zdir / "a.zip", "w") as z:
+        z.writestr("img/one.ppm", encode_ppm(6, 4, seed=1))
+        z.writestr("notes.txt", b"hello world")
+    with zipfile.ZipFile(zdir / "b.zip", "w") as z:
+        z.writestr("snd/two.wav", encode_wav(200, seed=2))
+    (zdir / "broken.zip").write_bytes(b"not a zip at all")
+
+    members = read_zip_members(spark, str(zdir / "*.zip"))
+    rows = {r.member: r for r in members.collect()}
+    assert set(rows) == {"img/one.ppm", "notes.txt", "snd/two.wav"}
+    assert bytes(rows["notes.txt"].payload) == b"hello world"
+
+    # members feed straight into the real decoder
+    media = members.filter(members.member != "notes.txt").select(
+        F.monotonically_increasing_id().alias("doc_id"), "payload"
+    )
+    kinds = {r.kind for r in extract_media_features(media).collect()}
+    assert kinds == {"image/ppm", "audio/wav"}

@@ -41,8 +41,13 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("file"), F.col("value")
     )
+    # Split on \r\n, bare \r, or \n: the reference's actual exports are CRLF
+    # (Windows-side Telegram dumps), and F.trim strips only spaces — with a
+    # plain "\n" split every blank line would survive as "\r" (sentence
+    # boundaries lost) and every tag would keep a trailing "\r" (ADVICE r2).
     lines = files.select(
-        "file", F.posexplode(F.split("value", "\n")).alias("line_no", "raw")
+        "file",
+        F.posexplode(F.split("value", r"\r\n|\r|\n")).alias("line_no", "raw"),
     ).select("file", "line_no", F.trim(F.col("raw")).alias("line"))
     w = Window.partitionBy("file").orderBy("line_no")
     with_sent = lines.withColumn(

@@ -155,21 +155,22 @@ def candidate_pairs(
             ["src", "dst"]
         )
 
-    # Exact-duplicate fast path: same (type, surface) always pairs, immune to
-    # band/salt splits.
+    # Exact-duplicate fast path: same (type, surface) always pairs, immune
+    # to band/salt splits. STAR edges to each group's min mention_id —
+    # O(n) edges per duplicate group, identical connected components
+    # (every member reaches every other through the min member). The old
+    # all-pairs self-join was quadratic in per-surface duplicate count: a
+    # surface repeated 10^9 times would emit ~5*10^17 pairs (VERDICT r2
+    # #4). min <= mention_id always, so src < dst holds by construction.
+    wmin = Window.partitionBy("entity_type", "norm_surface")
     exact = (
-        mentions.alias("a")
-        .join(
-            mentions.alias("b"),
-            (F.col("a.entity_type") == F.col("b.entity_type"))
-            & (F.col("a.norm_surface") == F.col("b.norm_surface"))
-            & (F.col("a.mention_id") < F.col("b.mention_id")),
-        )
+        mentions.withColumn("_min_id", F.min("mention_id").over(wmin))
+        .filter(F.col("mention_id") != F.col("_min_id"))
         .select(
-            F.col("a.mention_id").alias("src"),
-            F.col("b.mention_id").alias("dst"),
-            F.col("a.norm_surface").alias("surf_a"),
-            F.col("b.norm_surface").alias("surf_b"),
+            F.col("_min_id").alias("src"),
+            F.col("mention_id").alias("dst"),
+            F.col("norm_surface").alias("surf_a"),
+            F.col("norm_surface").alias("surf_b"),
         )
     )
 
@@ -245,21 +246,20 @@ def typed_link_surfaces(
     numeric = surfaces.filter(F.col("entity_type").isin(*NUMERIC_TYPES))
     textual = surfaces.filter(~F.col("entity_type").isin(*NUMERIC_TYPES))
 
-    # numeric: exact value-key blocks; all within-block pairs are edges
+    # numeric: exact value-key blocks; STAR edges to the block's min
+    # mention_id (O(n) per block, same components as all-pairs — the
+    # VERDICT r2 #4 discipline applied here too: a popular price value
+    # shared by millions of surfaces must not emit quadratic pairs).
     keyed = numeric.withColumn(
         "vkey", F.regexp_replace(F.col("norm_surface"), "[^0-9.]", "")
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    wv = Window.partitionBy("entity_type", "vkey")
     num_edges = (
-        a.join(
-            b,
-            (F.col("a.entity_type") == F.col("b.entity_type"))
-            & (F.col("a.vkey") == F.col("b.vkey"))
-            & (F.col("a.mention_id") < F.col("b.mention_id")),
-        )
+        keyed.withColumn("_min_id", F.min("mention_id").over(wv))
+        .filter(F.col("mention_id") != F.col("_min_id"))
         .select(
-            F.col("a.mention_id").alias("src"),
-            F.col("b.mention_id").alias("dst"),
+            F.col("_min_id").alias("src"),
+            F.col("mention_id").alias("dst"),
             F.lit(1.0).alias("sim"),
         )
     )

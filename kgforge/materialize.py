@@ -71,14 +71,16 @@ def write_partitioned(
     if fmt == "iceberg":
         # `path` is a catalog table identifier in Iceberg mode (needs the
         # iceberg-spark-runtime jar + a catalog — not present in this
-        # sandbox, so this branch is exercised on a real cluster only).
-        # overwritePartitions() is the idempotent resume path (snapshot
-        # commit replacing exactly the touched partitions); first write
-        # creates the partitioned table.
-        try:
+        # sandbox; call shape is pinned by tests/test_io.py with a stub).
+        # Existence is checked EXPLICITLY: a bare try/except around
+        # overwritePartitions() would turn any transient commit failure
+        # into a createOrReplace that wipes every untouched partition,
+        # violating the idempotent per-partition resume contract (ADVICE
+        # r2). Real write failures propagate.
+        if df.sparkSession.catalog.tableExists(path):
             df.writeTo(path).overwritePartitions()
-        except Exception:
-            df.writeTo(path).partitionedBy(F.col(part_col)).createOrReplace()
+        else:
+            df.writeTo(path).partitionedBy(F.col(part_col)).create()
         return
     (
         df.write.option("partitionOverwriteMode", "dynamic")

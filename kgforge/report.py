@@ -72,7 +72,12 @@ def recommendations(overall: dict, per_type_rows: list, confusions: list) -> lis
     recs: list[str] = []
     if overall["f1"] < 0.7:
         weakest = sorted(
-            per_type_rows, key=lambda r: (2 * r["precision"] * r["recall"])
+            per_type_rows,
+            key=lambda r: (
+                2 * r["precision"] * r["recall"] / (r["precision"] + r["recall"])
+                if (r["precision"] + r["recall"]) > 0
+                else 0.0
+            ),
         )[:3]
         names = ", ".join(
             f"{r['entity_type']} (P={r['precision']:.2f}, R={r['recall']:.2f})"

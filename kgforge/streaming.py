@@ -52,7 +52,7 @@ def stream_dedup_ingest(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
-    delay: str = "10 minutes",
+    delay: str = "2 hours",
 ) -> None:
     """Streaming exact dedup for continuous corpus ingest (the training-
     data pipeline's arrival-time dedup): duplicate content arriving within
@@ -60,7 +60,14 @@ def stream_dedup_ingest(
     ``dropDuplicatesWithinWatermark`` keeps state bounded (keys older than
     the watermark are evicted), unlike an unbounded dropDuplicates whose
     state grows with the corpus. Re-run with the same checkpoint resumes
-    exactly-once."""
+    exactly-once.
+
+    The watermark delay MUST exceed the event-time disorder of the feed:
+    the synthetic event_ts below is spread over 3600s while micro-batches
+    arrive in hash (not time) order, so a delay shorter than the spread
+    would drop UNIQUE late rows as late data, not just duplicates (ADVICE
+    r2). Default 2h > the 1h synthetic spread; a real feed sets this to its
+    max arrival lag."""
     sdf = (
         spark.readStream.schema(SOURCE_FILES)
         .option("maxFilesPerTrigger", 8)

@@ -158,6 +158,99 @@ def with_band_buckets(
     )
 
 
+def band_bucket_probe_pair(
+    vec: Column, band: int, rows: int = EMB_ROWS, dim: int = EMB_DIM
+) -> Column:
+    """Multi-probe: (exact bucket, probe bucket) for one band.
+
+    The probe bucket flips the band's LOWEST-|margin| bit — the sign test
+    whose hyperplane dot product is closest to zero, i.e. the bit most
+    likely to differ for a true near neighbour sitting just across one
+    hyperplane. Probing it recovers most of the recall a wider band loses,
+    at 2x candidate rows instead of 2x bands (VERDICT r2 #4 follow-up /
+    next-round item 8). Deterministic AND oracle-checkable: margins stay in
+    exact decimal (no double rounding), so the |margin| comparisons are
+    bit-identical to the DuckDB twin (band_probe_bucket_sql); |margin| ties
+    break toward the lowest bit index in both.
+    """
+    dots = [_dec_dot_pm(vec, pm_signs(band, j, dim)) for j in range(rows)]
+    bucket = F.lit(0)
+    for j in range(rows):
+        bucket = bucket + F.when(dots[j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    absd = [F.abs(d) for d in dots]
+    m = F.least(*absd)
+    flip = F.lit(0)
+    for j in reversed(range(rows)):  # earlier bits win ties (applied last)
+        flip = F.when(absd[j] == m, F.lit(1 << j)).otherwise(flip)
+    return F.struct(
+        bucket.alias("bucket"), bucket.bitwiseXOR(flip).alias("probe")
+    )
+
+
+def band_probe_bucket_sql(
+    band: int, rows: int = EMB_ROWS, dim: int = EMB_DIM, vec: str = "embedding"
+) -> str:
+    """DuckDB twin of band_bucket_probe_pair's PROBE member: one SELECT over
+    ``embeddings`` yielding (vec_id, embedding, band, bucket) where bucket
+    is the exact band bucket with its lowest-|margin| bit flipped. Same
+    decimal dots and tie-break order as the Spark side."""
+    dots = []
+    for j in range(rows):
+        signs = pm_signs(band, j, dim)
+        slist = "[" + ",".join(str(v) for v in signs) + "]"
+        dots.append(
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> cast(round({vec}[i], 6) as decimal(18,6)) * ({slist})[i]))"
+            f" AS d{j}"
+        )
+    bits = " + ".join(
+        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(rows)
+    )
+    absm = "least(" + ", ".join(f"abs(d{j})" for j in range(rows)) + ")"
+    flip = (
+        "CASE "
+        + " ".join(f"WHEN abs(d{j}) = m THEN {1 << j}" for j in range(rows))
+        + " END"
+    )
+    inner = f"SELECT vec_id, {vec}, {', '.join(dots)} FROM embeddings"
+    mid = (
+        f"SELECT vec_id, {vec}, {bits} AS bucket, {absm} AS m, "
+        + ", ".join(f"d{j}" for j in range(rows))
+        + f" FROM ({inner})"
+    )
+    return (
+        f"SELECT vec_id, {vec}, {band} AS band, xor(bucket, {flip}) AS bucket "
+        f"FROM ({mid})"
+    )
+
+
+def with_band_buckets_multiprobe(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bands: int = EMB_BANDS,
+    rows: int = EMB_ROWS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Explode each vector into (band, bucket) rows with BOTH the exact and
+    the flipped-lowest-margin probe bucket per band (2*bands rows/vector).
+    Join key and shuffle shape are identical to with_band_buckets; only the
+    candidate set widens."""
+    entries = []
+    for b in range(bands):
+        pair = band_bucket_probe_pair(F.col(vec_col), b, rows, dim)
+        entries.append(
+            F.struct(F.lit(b).alias("band"), pair["bucket"].alias("bucket"))
+        )
+        entries.append(
+            F.struct(F.lit(b).alias("band"), pair["probe"].alias("bucket"))
+        )
+    return df.withColumn("_bb", F.explode(F.array(*entries))).select(
+        *df.columns,
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the other scale path the brief names
 # ---------------------------------------------------------------------------
@@ -291,15 +384,19 @@ def embedding_candidate_pairs(
     rows: int = EMB_ROWS,
     dim: int = EMB_DIM,
     max_block: int = 1000,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Production ANN blocking: banded buckets + window block counts +
     deterministic salting of hot buckets (same hot-block control as
     kgforge.link.candidate_pairs — a window over the bucket key, never a
     broadcast of the count table). Returns distinct (a_id, b_id) candidate
-    pairs with both vectors attached."""
+    pairs with both vectors attached. ``multiprobe=True`` additionally
+    probes each band's flipped lowest-|margin| bucket (2x rows, recall
+    recovered without more bands)."""
     from pyspark.sql import Window
 
-    bb = with_band_buckets(
+    bucketer = with_band_buckets_multiprobe if multiprobe else with_band_buckets
+    bb = bucketer(
         embeddings.select(id_col, vec_col), vec_col, bands, rows, dim
     )
     w = Window.partitionBy("band", "bucket")

@@ -80,6 +80,30 @@ def test_conll_line_order_preserved_exactly(spark, tmp_path):
     assert r.tokens == toks
 
 
+def test_conll_crlf_equals_lf(spark, tmp_path):
+    """CRLF CoNLL (the reference's actual export line endings) must parse
+    IDENTICALLY to LF: blank lines stay sentence boundaries (not '\r'
+    residue merging everything into one sentence) and no tag carries a
+    trailing '\r' (ADVICE r2 high). Also covers bare-CR (classic Mac)."""
+    (tmp_path / "lf.conll").write_text(CONLL_TEXT, encoding="utf-8")
+    (tmp_path / "crlf.conll").write_bytes(
+        CONLL_TEXT.replace("\n", "\r\n").encode("utf-8")
+    )
+    (tmp_path / "cr.conll").write_bytes(
+        CONLL_TEXT.replace("\n", "\r").encode("utf-8")
+    )
+    expected = {
+        tuple(r.tokens): list(r.tags)
+        for r in read_conll(spark, str(tmp_path / "lf.conll")).collect()
+    }
+    for name in ("crlf.conll", "cr.conll"):
+        df = read_conll(spark, str(tmp_path / name))
+        got = {tuple(r.tokens): list(r.tags) for r in df.collect()}
+        assert got == expected, name
+        for tags in got.values():
+            assert all("\r" not in t for t in tags), name
+
+
 def test_conll_space_delimited_and_malformed(spark, tmp_path):
     src = tmp_path / "sp.conll"
     src.write_text("tok1 O\nmalformedline\ntok2 B-LOC\n\n", encoding="utf-8")

@@ -104,3 +104,78 @@ def test_message_hash_invariant(spark):
     msgs = synth_messages(spark, 80).filter(F.col("text").isNotNull())
     for r in msgs.select("text", "message_hash").collect():
         assert r.message_hash == hashlib.sha256(r.text.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Iceberg branch call shape (VERDICT r2 next-round #6 / ADVICE r2 medium):
+# no iceberg jar in the sandbox, so the writeTo chain is pinned with a stub.
+# ---------------------------------------------------------------------------
+
+
+class _WriteToRecorder:
+    def __init__(self, calls: list, table: str, fail_overwrite: bool = False):
+        self.calls = calls
+        self.table = table
+        self.fail_overwrite = fail_overwrite
+
+    def overwritePartitions(self):
+        self.calls.append(("overwritePartitions", self.table))
+        if self.fail_overwrite:
+            raise RuntimeError("transient commit failure")
+
+    def partitionedBy(self, col):
+        self.calls.append(("partitionedBy", self.table))
+        return self
+
+    def create(self):
+        self.calls.append(("create", self.table))
+
+    def createOrReplace(self):  # must never be reached
+        self.calls.append(("createOrReplace", self.table))
+
+
+def _stubbed_df(spark, monkeypatch, calls, exists: bool, fail_overwrite=False):
+    df = spark.range(4).withColumn("part_id", (F.col("id") % 2).cast("int"))
+    monkeypatch.setattr(
+        df, "writeTo",
+        lambda table: _WriteToRecorder(calls, table, fail_overwrite),
+        raising=False,
+    )
+    monkeypatch.setattr(
+        df.sparkSession.catalog, "tableExists", lambda name: exists
+    )
+    return df
+
+
+def test_iceberg_existing_table_overwrites_partitions_only(spark, monkeypatch):
+    from kgforge.materialize import write_partitioned
+
+    calls: list = []
+    df = _stubbed_df(spark, monkeypatch, calls, exists=True)
+    write_partitioned(df, "cat.db.t", coalesce_parts=False, table_format="iceberg")
+    assert calls == [("overwritePartitions", "cat.db.t")]
+
+
+def test_iceberg_missing_table_creates_partitioned(spark, monkeypatch):
+    from kgforge.materialize import write_partitioned
+
+    calls: list = []
+    df = _stubbed_df(spark, monkeypatch, calls, exists=False)
+    write_partitioned(df, "cat.db.t", coalesce_parts=False, table_format="iceberg")
+    assert calls == [("partitionedBy", "cat.db.t"), ("create", "cat.db.t")]
+
+
+def test_iceberg_write_failure_propagates_not_replaces(spark, monkeypatch):
+    """A transient overwrite failure must PROPAGATE — the old bare
+    try/except silently fell back to createOrReplace, wiping every
+    untouched partition (ADVICE r2)."""
+    import pytest as _pytest
+
+    from kgforge.materialize import write_partitioned
+
+    calls: list = []
+    df = _stubbed_df(spark, monkeypatch, calls, exists=True, fail_overwrite=True)
+    with _pytest.raises(RuntimeError, match="transient"):
+        write_partitioned(df, "cat.db.t", coalesce_parts=False, table_format="iceberg")
+    assert ("createOrReplace", "cat.db.t") not in calls
+    assert ("create", "cat.db.t") not in calls

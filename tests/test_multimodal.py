@@ -113,3 +113,48 @@ def test_zip_source_reads_members_and_skips_bad_archives(spark, tmp_path):
     )
     kinds = {r.kind for r in extract_media_features(media).collect()}
     assert kinds == {"image/ppm", "audio/wav"}
+
+
+def test_zip_source_many_members_chunked(spark, tmp_path):
+    """A many-member archive (> the 256-row chunk) comes back complete:
+    the source yields bounded member chunks, never an accumulated
+    whole-batch list (VERDICT r2 #5 memory bound)."""
+    import zipfile
+
+    from kgforge.multimodal import read_zip_members
+
+    zdir = tmp_path / "zips"
+    zdir.mkdir()
+    n = 700  # > 2 chunks of 256
+    with zipfile.ZipFile(zdir / "big.zip", "w") as z:
+        for i in range(n):
+            z.writestr(f"m/{i:04d}.txt", f"payload-{i}".encode())
+    members = read_zip_members(spark, str(zdir / "*.zip"))
+    assert members.count() == n
+    got = {r.member: bytes(r.payload) for r in members.collect()}
+    assert got["m/0000.txt"] == b"payload-0"
+    assert got[f"m/{n-1:04d}.txt"] == f"payload-{n-1}".encode()
+
+
+def test_riff_non_wave_and_truncated_wav_are_skipped(spark):
+    """RIFF-but-not-WAVE (AVI/WebP) and truncated WAV blobs must SKIP via
+    ValueError, not crash the task with wave.Error/EOFError (ADVICE r2)."""
+    import pytest as _pytest
+
+    from kgforge.multimodal import decode_real
+
+    avi = b"RIFF" + (1000).to_bytes(4, "little") + b"AVI LIST" + b"\x00" * 32
+    with _pytest.raises(ValueError):
+        decode_real(avi)
+    truncated = encode_wav(200, seed=3)[:30]  # header cut mid-chunk
+    with _pytest.raises(ValueError):
+        decode_real(truncated)
+
+    # end-to-end: one bad blob among good ones skips, others survive
+    good = encode_wav(100, seed=4)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(avi)), (3, bytearray(truncated))],
+        "doc_id long, payload binary",
+    )
+    out = extract_media_features(df).collect()
+    assert {r.doc_id for r in out} == {1}

@@ -213,3 +213,22 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS kgforge_bkt_left")
         spark.sql("DROP TABLE IF EXISTS kgforge_bkt_right")
+
+
+def test_packing_window_is_sharded_not_per_lang(spark):
+    """q50's packing window must partition by (lang, shard) — one reducer
+    per LANGUAGE (q46's oracle-twin shape) is a scale-killer when the
+    dominant language is ~half the corpus (VERDICT r2 "What's wrong" #3).
+    The physical Window's partition spec must carry the shard column."""
+    plan = plan_of(spark, "q50_sequence_packing_sharded")
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "lang" in ln]
+    assert win_lines, plan
+    assert all("shard" in ln for ln in win_lines), win_lines
+
+    # and the production default (hash shard) keeps the same shape
+    from kgforge.queries import pack_sequences, t
+
+    packed = pack_sequences(t(spark, SF, "documents"), n_shards=16)
+    pplan = packed._jdf.queryExecution().executedPlan().toString()
+    pwin = [ln for ln in pplan.splitlines() if "Window" in ln and "lang" in ln]
+    assert pwin and all("shard" in ln for ln in pwin), pwin

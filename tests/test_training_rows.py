@@ -102,3 +102,22 @@ def test_eval_report_shape(spark):
     assert "PRICE" in labels
     for r in it["feature_importance"]:
         assert 0 < r["share"] <= 1 and r["rank"] >= 1
+
+
+def test_recommendations_rank_by_true_f1():
+    """Weakest classes sort by harmonic-mean F1, not 2*P*R (ADVICE r2):
+    P=0.9/R=0.25 (F1 0.391) is WEAKER than P=0.5/R=0.4 (F1 0.444), but the
+    old product key ranked them 0.45 > 0.40, the wrong way around."""
+    from kgforge.report import recommendations
+
+    per_type = [
+        {"entity_type": "A", "precision": 0.5, "recall": 0.4},   # F1 0.444
+        {"entity_type": "B", "precision": 0.9, "recall": 0.25},  # F1 0.391
+        {"entity_type": "C", "precision": 0.0, "recall": 0.0},   # F1 0 (guard)
+        {"entity_type": "D", "precision": 0.9, "recall": 0.9},   # F1 0.9
+    ]
+    recs = recommendations({"f1": 0.3}, per_type, [])
+    line = recs[0]
+    # weakest three by true F1: C (0) < B (0.391) < A (0.444); D excluded
+    assert line.index("C (") < line.index("B (") < line.index("A (")
+    assert "D (" not in line

@@ -1,10 +1,14 @@
 """Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR + KG throughput
 + two-parallelism scaling (the sandbox stand-in for N vs 4N executors).
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (<2 KB, inside the driver's tail-capture
+window — VERDICT r2 #1):
   {"metric": "triples_per_sec", "value": <kg throughput at local[CPUS]>,
    "unit": "sec", "queries": {name: warm seconds, ...}, "sf": <sf>,
-   "kg": {...}, "scaling": {...}}
+   "scaling": {"efficiency_extract": g, "primary": {...}, "saturated":
+   {...}}, "artifact": "BENCH/last_run.json"}
+The FULL artifact (cold timings, per-trial arrays, kg detail, protocol
+notes, drift control) goes to BENCH/last_run.json.
 
 Methodology (BENCH/BASELINE.md §2):
 - query timings: full execution forced with a noop sink; each query runs
@@ -412,7 +416,7 @@ def main() -> int:
 
     scaling = scaling_result(primary.result(), saturated.result())
 
-    out = {
+    full_artifact = {
         "metric": "triples_per_sec",
         "value": full["triples_per_sec"],
         "unit": "sec",
@@ -422,7 +426,43 @@ def main() -> int:
         "kg": full,
         "scaling": scaling,
     }
-    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/last_run.json", "w") as f:
+        json.dump(full_artifact, f, indent=1)
+    log("full artifact -> BENCH/last_run.json")
+
+    # The driver tail-captures a bounded window of stdout; round 2's final
+    # line outgrew it (prose note + six-trial arrays + control blocks) and
+    # BENCH_r02.json recorded parsed: null (VERDICT r2 "What's wrong" #1).
+    # Final line = COMPACT headline only: metric/value/sf, warm query
+    # timings, and the scaling gate numbers with their two ceiling controls.
+    # efficiency_normalized (raw / mem-bandwidth-ceiling at the same
+    # parallelism) is the formalized saturated-pair gate (next-round #4).
+    def _gate(pair: dict) -> dict:
+        return {
+            "cores": pair["cores"],
+            "efficiency": pair["efficiency"],
+            "md5_ceiling": pair["host_ceiling_control"]["efficiency"],
+            "mem_ceiling": pair["mem_bandwidth_control"]["efficiency"],
+            "efficiency_normalized": pair["efficiency_vs_mem_ceiling"],
+        }
+
+    out = {
+        "metric": "triples_per_sec",
+        "value": full["triples_per_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf),
+        "scaling": {
+            "efficiency_extract": scaling["efficiency_extract"],
+            "primary": _gate(scaling["primary_pair"]),
+            "saturated": _gate(scaling["saturated_pair"]),
+        },
+        "artifact": "BENCH/last_run.json",
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 2000, f"headline line too long ({len(line)} chars)"
+    print(line)
     return 0
 
 

@@ -260,6 +260,75 @@ def read_zip_members(spark, path_glob: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(run, schema=schema)
 
 
+ZIP_MANIFEST = StructType(
+    [
+        StructField("archive", StringType(), False),
+        StructField("n_members", IntegerType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sha256", StringType(), False),
+    ]
+)
+
+
+def write_zip_archives(
+    df: DataFrame,
+    out_dir: str,
+    archive_col: str = "archive",
+    member_col: str = "member",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """ZIP archive SINK (S10's second half — the reference zips channel
+    images in memory, telegram_scraper.py:230-254): one real ``.zip`` file
+    per archive key.
+
+    Spark-first shape: ``groupBy(archive).applyInPandas`` routes every
+    member of an archive to exactly one task (memory bounded by ONE
+    archive, the same in-memory-zip contract as the reference; split
+    mega-archives by key upstream), archives parallelize across executors.
+    The zip bytes are DETERMINISTIC (members sorted, fixed 1980 timestamps,
+    stored uncompressed-size-independent DEFLATE) and each file is
+    committed with write-to-temp + atomic ``os.replace`` — a retried task
+    rewrites byte-identical content, so the sink is idempotent without a
+    Hadoop committer. ``out_dir`` must be a filesystem all executors share
+    (the standard Spark output-directory contract).
+
+    Returns the manifest (archive, n_members, n_bytes, sha256); running an
+    action on it performs the write. Archive keys are used as file names
+    with path separators sanitized.
+    """
+    import hashlib
+    import os
+    import zipfile
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(member_col, kind="mergesort")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            for m, p in zip(pdf[member_col], pdf[payload_col]):
+                zi = zipfile.ZipInfo(str(m), date_time=(1980, 1, 1, 0, 0, 0))
+                zi.compress_type = zipfile.ZIP_DEFLATED
+                z.writestr(zi, bytes(p))
+        data = buf.getvalue()
+        name = str(pdf[archive_col].iloc[0]).replace(os.sep, "_").replace("/", "_")
+        final = os.path.join(out_dir, f"{name}.zip")
+        tmp = f"{final}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, final)  # atomic on one FS; idempotent on retry
+        return pd.DataFrame(
+            [[name, len(pdf), len(data), hashlib.sha256(data).hexdigest()]],
+            columns=["archive", "n_members", "n_bytes", "sha256"],
+        )
+
+    return (
+        df.select(archive_col, member_col, payload_col)
+        .groupBy(archive_col)
+        .applyInPandas(build, schema=ZIP_MANIFEST)
+    )
+
+
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Simulate a media column: utf-8 bytes of the text as the blob."""
     return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))

@@ -963,6 +963,93 @@ def q50_sequence_packing_sharded(spark, sf_dir):
 
 _EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _LONGNUM_PAT = r"[0-9]{9,}"
+_URL_PAT = r"https?://[^ ]+"
+
+
+@q(
+    "q52_url_boilerplate",
+    f"""
+    WITH aug AS (
+        SELECT doc_id, lang,
+               text || CASE WHEN doc_id % 5 = 0
+                    THEN ' see https://ex.org/p/' || cast(doc_id AS varchar)
+                         || ' and http://m.ex.org/' || cast(doc_id AS varchar)
+                    ELSE '' END AS text
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(regexp_extract_all(text, '{_URL_PAT}')))::bigint AS n_urls,
+           sum(CASE WHEN regexp_matches(text, '{_URL_PAT}')
+                    THEN 1 ELSE 0 END)::bigint AS n_docs_with_url,
+           sum(length(regexp_replace(text, '{_URL_PAT}', '', 'g'))
+               - length(text))::bigint AS stripped_delta
+    FROM aug GROUP BY lang
+    """,
+)
+def q52_url_boilerplate(spark, sf_dir):
+    """URL extraction + boilerplate stripping (training-data hygiene, the
+    C4-style cleanup pass): per language, count URLs, URL-bearing docs, and
+    the character delta after stripping. The synthetic corpus is URL-free,
+    so every 5th doc is deterministically augmented (q47's technique).
+    Pure Catalyst regexp, map-side before the one lang agg."""
+    d = t(spark, sf_dir, "documents")
+    aug = d.select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" see https://ex.org/p/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" and http://m.ex.org/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    stripped = F.regexp_replace(F.col("text"), _URL_PAT, "")
+    return aug.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(_URL_PAT), 0))).alias(
+            "n_urls"
+        ),
+        F.sum(
+            F.when(F.col("text").rlike(_URL_PAT), 1).otherwise(0)
+        ).alias("n_docs_with_url"),
+        F.sum(F.length(stripped) - F.length("text")).alias("stripped_delta"),
+    )
+
+
+@q(
+    "q53_repetition_ratio",
+    """
+    WITH r AS (
+        SELECT lang,
+               1.0 - len(list_distinct(string_split(text, ' ')))::double
+                     / len(string_split(text, ' ')) AS rep
+        FROM documents
+    )
+    SELECT lang, round(avg(rep), 4) AS avg_repetition,
+           round(max(rep), 4) AS max_repetition,
+           sum(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END)::bigint AS n_repetitive
+    FROM r GROUP BY lang
+    """,
+)
+def q53_repetition_ratio(spark, sf_dir):
+    """Token-repetition ratio (Gopher-style quality gate): 1 -
+    distinct/total whitespace tokens per doc, aggregated per language with
+    a >0.2 repetitive-doc count. Map-side arrays, one agg shuffle."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    rep = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    r = d.select("lang", rep.alias("rep"))
+    return r.groupBy("lang").agg(
+        F.round(F.avg("rep"), 4).alias("avg_repetition"),
+        F.round(F.max("rep"), 4).alias("max_repetition"),
+        F.sum(F.when(F.col("rep") > 0.2, 1).otherwise(0)).alias("n_repetitive"),
+    )
 
 
 @q(
@@ -2009,6 +2096,8 @@ _FRONT = [
     # new this round (never snapshot before):
     "q50_sequence_packing_sharded",
     "q51_embedding_neardup_multiprobe",
+    "q52_url_boilerplate",
+    "q53_repetition_ratio",
 ]
 _ordered = {k: REGISTRY[k] for k in _FRONT if k in REGISTRY}
 for _k in list(REGISTRY):

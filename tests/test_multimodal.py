@@ -158,3 +158,38 @@ def test_riff_non_wave_and_truncated_wav_are_skipped(spark):
     )
     out = extract_media_features(df).collect()
     assert {r.doc_id for r in out} == {1}
+
+
+def test_zip_sink_roundtrip_deterministic_idempotent(spark, tmp_path):
+    """S10 sink: real per-key .zip files, byte-deterministic (sorted
+    members, fixed timestamps), idempotent on re-run, and readable back
+    through the ZIP source with payloads intact."""
+    from kgforge.multimodal import read_zip_members, write_zip_archives
+
+    rows = [
+        ("chan_a", "img/one.ppm", bytearray(encode_ppm(6, 4, seed=1))),
+        ("chan_a", "notes.txt", bytearray(b"hello world")),
+        ("chan_b", "snd/two.wav", bytearray(encode_wav(200, seed=2))),
+    ]
+    df = spark.createDataFrame(
+        rows, "archive string, member string, payload binary"
+    )
+    out = str(tmp_path / "zips")
+    m1 = {r.archive: r for r in write_zip_archives(df, out).collect()}
+    assert set(m1) == {"chan_a", "chan_b"}
+    assert m1["chan_a"].n_members == 2 and m1["chan_b"].n_members == 1
+
+    # re-run: byte-identical archives (same sha256), no duplicate files
+    m2 = {r.archive: r for r in write_zip_archives(df, out).collect()}
+    assert {a: r.sha256 for a, r in m1.items()} == {
+        a: r.sha256 for a, r in m2.items()
+    }
+    import os
+
+    assert sorted(os.listdir(out)) == ["chan_a.zip", "chan_b.zip"]
+
+    back = read_zip_members(spark, f"{out}/*.zip")
+    got = {(r.archive.split("/")[-1], r.member): bytes(r.payload) for r in back.collect()}
+    assert got[("chan_a.zip", "notes.txt")] == b"hello world"
+    assert got[("chan_b.zip", "snd/two.wav")] == bytes(rows[2][2])
+    assert len(got) == 3

@@ -965,6 +965,47 @@ _EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _LONGNUM_PAT = r"[0-9]{9,}"
 _URL_PAT = r"https?://[^ ]+"
 
+# Irregular (non-floorable) order-value bands: a true range join, not a
+# width-division shortcut.
+_BANDS = [(0, 900), (900, 2500), (2500, 7000), (7000, 20000), (20000, 10**9)]
+
+
+@q(
+    "q54_range_join_bands",
+    f"""
+    WITH bands(band_id, lo, hi) AS (VALUES
+        {", ".join(f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(_BANDS))}
+    )
+    SELECT band_id, cast(lo AS double) AS lo,
+           count(*) AS n_orders,
+           sum(cast(o_totalprice AS decimal(18,2)))::double AS sum_price
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_id, lo
+    """,
+)
+def q54_range_join_bands(spark, sf_dir):
+    """Range join (an operator Spark lacks natively — the brief's as-of /
+    range-join family): each order lands in the irregular value band
+    containing its price, via a BROADCAST non-equi join. Scale shape: the
+    band table is always tiny -> BroadcastNestedLoopJoin keeps the fact
+    side map-only (no shuffle before the band agg); for two LARGE interval
+    sets the same semantics would bucket both sides by overlapping coarse
+    grid cells first (the q34 blocking discipline)."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice")
+    bands = spark.createDataFrame(
+        [(i, float(lo), float(hi)) for i, (lo, hi) in enumerate(_BANDS)],
+        "band_id int, lo double, hi double",
+    )
+    j = o.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return j.groupBy("band_id", "lo").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
 
 @q(
     "q52_url_boilerplate",
@@ -2098,6 +2139,7 @@ _FRONT = [
     "q51_embedding_neardup_multiprobe",
     "q52_url_boilerplate",
     "q53_repetition_ratio",
+    "q54_range_join_bands",
 ]
 # If the snapshot is capped at 50, ten entries get no row this round; the
 # sacrifice is chosen EXPLICITLY: plain relational/function-surface queries

@@ -54,7 +54,15 @@ SCALE_CORPUS = f"/tmp/kgforge_scaling_corpus_{SCALE_FILES}_p512"
 # control at the same parallelism.
 LO_CORES, HI_CORES = 2, 8
 SAT_LO, SAT_HI = 8, 32
-SAT_ROUNDS = int(os.environ.get("KGFORGE_SAT_ROUNDS", "2"))
+SAT_ROUNDS = int(os.environ.get("KGFORGE_SAT_ROUNDS", "4"))
+# The saturated pair needs a 4x larger corpus than the primary pair: at
+# 8/32 cores the 200k-file job finishes in ~6 s, which is fixed-cost
+# (stage setup + scheduling) dominated and measured 0.26 "efficiency" that
+# was really constant-overhead ratio, not throughput scaling (r2 artifact).
+# 800k files puts the local[8] leg at ~30-90 s — long enough that steady-
+# state throughput dominates wall time on both legs.
+SAT_FILES = int(os.environ.get("KGFORGE_SAT_FILES", "800000"))
+SAT_CORPUS = f"/tmp/kgforge_scaling_corpus_{SAT_FILES}_p512"
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -63,6 +71,7 @@ HEADLINE = [
     "q12_dateparts",
     "q22_minhash_lsh",
     "q24_simhash",
+    "q55_simhash16_fast",
     "q41_simhash64_fast",
     "q25_quality_scores",
     "q29_cosine_topk",
@@ -374,6 +383,7 @@ def main() -> int:
     for path, n, parts in (
         (CORPUS, KG_FILES, 64),
         (SCALE_CORPUS, SCALE_FILES, 512),
+        (SAT_CORPUS, SAT_FILES, 512),
     ):
         if not os.path.exists(f"{path}/_SUCCESS"):
             log(f"staging {n}-file corpus at {path} ({parts} splits)")
@@ -384,10 +394,19 @@ def main() -> int:
 
     # scaling legs start first (warmups), rounds interleave with the other
     # bench sections to spread the sample span across the whole run
-    log(f"scaling legs: local[{LO_CORES}]/local[{HI_CORES}] primary, "
-        f"local[{SAT_LO}]/local[{SAT_HI}] saturated, on {SCALE_CORPUS}")
+    # Both pairs' rounds are SPREAD across the whole run (r2's saturated
+    # pair ran 2 back-to-back rounds at the very end and landed entirely in
+    # one co-tenancy stall; its rounds now interleave with the primary
+    # pair's and with the other bench sections, same as the primary always
+    # did). Trials are strictly sequential, so at most one leg computes at
+    # a time; idle legs only hold their warm JVM.
+    log(f"scaling legs: local[{LO_CORES}]/local[{HI_CORES}] primary on "
+        f"{SCALE_CORPUS}, local[{SAT_LO}]/local[{SAT_HI}] saturated on "
+        f"{SAT_CORPUS}")
     primary = PairSchedule(LO_CORES, HI_CORES, SCALE_CORPUS, ROUNDS)
+    saturated = PairSchedule(SAT_LO, SAT_HI, SAT_CORPUS, SAT_ROUNDS)
     primary.round()
+    saturated.round()
     primary.round()
 
     spark = new_session(CPUS)
@@ -396,10 +415,12 @@ def main() -> int:
     spark.stop()
 
     primary.round()
+    saturated.round()
 
     log(f"full KG pipeline at local[{CPUS}] (best of 2)")
     runs = [run_full_kg(CPUS)]
     primary.round()
+    saturated.round()
     runs.append(run_full_kg(CPUS))
     full = max(runs, key=lambda r: r["triples_per_sec"])
     full["runs_triples_per_sec"] = [r["triples_per_sec"] for r in runs]
@@ -409,8 +430,7 @@ def main() -> int:
         primary.round()
     primary.close()
 
-    saturated = PairSchedule(SAT_LO, SAT_HI, SCALE_CORPUS, SAT_ROUNDS + 1)
-    for _ in range(SAT_ROUNDS):
+    for _ in range(max(0, SAT_ROUNDS - 3)):
         saturated.round()
     saturated.close()
 

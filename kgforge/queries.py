@@ -795,6 +795,23 @@ def q41_simhash64_fast(spark, sf_dir):
     )
 
 
+@q("q55_simhash16_fast", None)
+def q55_simhash16_fast(spark, sf_dir):
+    """Same-WIDTH hash A/B twin of q24 (VERDICT r2 next-round #9): 16-bit
+    SimHash with the xxhash64-materialized shape, so q24 (md5 inline, 16
+    folds) vs q55 (xxhash64 precomputed, 16 folds) isolates the HASH cost —
+    q41 is the same scale shape at 64-bit width (4x the fold count) and is
+    not a like-for-like hash comparison. All three run adjacently in
+    bench.py's headline so the A/B lands inside one weather window of one
+    artifact. Rows-only (DuckDB has no xxhash64). Deterministic."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        textops.with_simhash_fast(d, "text", bits=16)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @q(
     "q45_stratified_sample",
     """
@@ -1004,6 +1021,34 @@ def q54_range_join_bands(spark, sf_dir):
     return j.groupBy("band_id", "lo").agg(
         F.count("*").alias("n_orders"),
         _dec_sum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+@q(
+    "q56_decontamination",
+    f"""
+    WITH eval_ngrams AS (
+        SELECT DISTINCT unnest({_SHINGLE_SQL}) AS ngram
+        FROM documents WHERE doc_id % 97 = 0
+    ), doc_ngrams AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLE_SQL}) AS ngram
+        FROM documents WHERE doc_id % 97 <> 0
+    )
+    SELECT d.doc_id, count(*) AS hits
+    FROM doc_ngrams d JOIN eval_ngrams e USING (ngram)
+    GROUP BY d.doc_id
+    """,
+)
+def q56_decontamination(spark, sf_dir):
+    """Benchmark decontamination (training-data hygiene): flag corpus
+    documents sharing 3-word n-grams with a deterministic held-out "eval
+    set" (doc_id % 97 == 0 stands in for the benchmark). Eval n-gram set
+    is broadcast — corpus side stays map-only until the per-doc hit count.
+    See textops.decontaminate_hits for the 100 TB shape."""
+    d = t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return textops.decontaminate_hits(
+        d.filter(~is_eval), d.filter(is_eval), k=3, min_hits=1
     )
 
 
@@ -2140,6 +2185,8 @@ _FRONT = [
     "q52_url_boilerplate",
     "q53_repetition_ratio",
     "q54_range_join_bands",
+    "q55_simhash16_fast",
+    "q56_decontamination",
 ]
 # If the snapshot is capped at 50, ten entries get no row this round; the
 # sacrifice is chosen EXPLICITLY: plain relational/function-surface queries

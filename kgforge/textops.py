@@ -33,6 +33,43 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+def decontaminate_hits(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct k-word
+    n-grams shared with an eval/benchmark set (the Dolma / GPT-3 appendix-C
+    discipline — training docs overlapping held-out eval n-grams are
+    flagged and dropped before training).
+
+    Scale shape (the reason this is a first-class operator): the eval side
+    is always tiny relative to a 100 TB corpus (benchmarks are a few
+    thousand docs -> at most a few million distinct n-grams), so its
+    distinct n-gram set is **broadcast** and the corpus side stays map-only
+    — explode to per-doc distinct n-grams, broadcast-hash semi-probe, then
+    one partial-agg-friendly groupBy(doc_id). No corpus-side shuffle except
+    the final per-doc count, which AQE coalesces. Production uses k=8..13;
+    tests use k=3 because the synthetic docs are short.
+    """
+    ngrams = word_shingles(F.col(text_col), k)
+    eval_ngrams = (
+        eval_df.select(F.explode(ngrams).alias("ngram")).distinct()
+    )
+    doc_ngrams = corpus.select(
+        F.col(id_col), F.explode(ngrams).alias("ngram")
+    ).distinct()
+    return (
+        doc_ngrams.join(F.broadcast(eval_ngrams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") >= min_hits)
+    )
+
+
 def minhash_band_sig(shingle_arr: Column, band: int) -> Column:
     """One band's MinHash signature: lexicographic min of md5(band || shingle).
 

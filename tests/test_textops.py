@@ -40,6 +40,42 @@ def test_decontaminate_min_hits_threshold(spark):
     assert [(r.doc_id, r.hits) for r in got.collect()] == [(2, 2)]
 
 
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from kgforge.queries import REGISTRY
+    import os
+
+    # 3 docs over a tiny vocab; write as parquet so the query's t() loader
+    # works against a directory shaped like a sf dir
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "cherry cherry cherry"),
+            ],
+            "doc_id long, text string",
+        )
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            (r.doc_id, r.term): (r.tfidf, r.rk)
+            for r in REGISTRY["q57_tfidf_top_terms"].fn(spark, d).collect()
+        }
+
+    def tfidf(tf, df, n=3):
+        return round(tf * (math.log((n + 1) / (df + 1)) + 1), 4)
+
+    # doc1: apple tf=2 df=1, banana tf=1 df=2
+    assert got[(1, "apple")] == (tfidf(2, 1), 1)
+    assert got[(1, "banana")] == (tfidf(1, 2), 2)
+    # doc3: cherry tf=3 df=2
+    assert got[(3, "cherry")] == (tfidf(3, 2), 1)
+    assert len(got) == 5
+
+
 def test_decontaminate_plan_broadcasts_eval_side(spark):
     eval_df = _docs(spark, [(100, "alpha beta gamma delta")])
     corpus = _docs(spark, [(1, "x alpha beta gamma y")])

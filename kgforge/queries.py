@@ -1287,6 +1287,45 @@ def q48_length_percentiles(spark, sf_dir):
     )
 
 
+@q("q58_sketch_percentiles", None)
+def q58_sketch_percentiles(spark, sf_dir):
+    """The 100 TB percentile path q48's docstring promises: mergeable
+    sketch quantiles via percentile_approx (Greenwald-Khanna variant,
+    accuracy 10000 -> max rank error 1e-4). One partial-agg pass, constant
+    state per partition — an exact percentile at 100 TB needs a full sort
+    per group, a sketch needs one mergeable summary. Rows-only by design:
+    sketch outputs are algorithm-dependent (DuckDB's approx_quantile uses
+    t-digest), so cross-engine value equality is the WRONG check — the
+    pytest asserts each sketch value within rank tolerance of the exact
+    q48 percentile instead."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.percentile_approx("n_chars", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.percentile_approx("n_chars", F.lit(0.99), F.lit(10000)).alias("p99"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@q("q59_hll_distinct", None)
+def q59_hll_distinct(spark, sf_dir):
+    """Sketch-family distinct counting: Apache DataSketches HLL via
+    hll_sketch_agg/hll_sketch_estimate (mergeable across partitions and
+    across DAYS — the streaming/incremental path that exact countDistinct
+    cannot give at 100 TB) next to approx_count_distinct (HyperLogLog++)
+    and the exact count as the in-row reference. Rows-only: estimates are
+    algorithm/seed-dependent across engines; the pytest bounds relative
+    error instead (HLL lgK=12 standard error ~1.6%)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+            "hll_users"
+        ),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 @q(
     "q25_quality_scores",
     """
@@ -2251,6 +2290,8 @@ _FRONT = [
     "q55_simhash16_fast",
     "q56_decontamination",
     "q57_tfidf_top_terms",
+    "q58_sketch_percentiles",
+    "q59_hll_distinct",
 ]
 # If the snapshot is capped at 50, ten entries get no row this round; the
 # sacrifice is chosen EXPLICITLY: plain relational/function-surface queries

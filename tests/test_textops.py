@@ -76,6 +76,44 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert len(got) == 5
 
 
+def test_sketch_percentiles_within_rank_tolerance(spark):
+    """q58's sketch values must sit within rank tolerance of q48's exact
+    percentiles — the correctness contract for an algorithm-dependent
+    sketch (cross-engine value equality is the wrong check)."""
+    from kgforge.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r.lang: r for r in REGISTRY["q48_length_percentiles"].fn(spark, sf).collect()
+    }
+    sketch = {
+        r.lang: r for r in REGISTRY["q58_sketch_percentiles"].fn(spark, sf).collect()
+    }
+    assert set(sketch) == set(exact)
+    for lang, s in sketch.items():
+        e = exact[lang]
+        # accuracy=10000 -> rank error 1e-4; at sf0.001 group sizes that is
+        # sub-1-rank, but percentile_approx returns an ACTUAL element while
+        # quantile_cont interpolates — allow one interpolation step (the
+        # gap between adjacent order statistics around the target rank).
+        for p in ("p50", "p90", "p99"):
+            assert abs(s[p] - e[p]) <= max(0.06 * e[p], 2.0), (lang, p, s[p], e[p])
+
+
+def test_hll_distinct_within_error_bounds(spark):
+    from kgforge.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["q59_hll_distinct"].fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        # lgK=12 standard error ~1.6%; 5 sigma bound, min slack 2 for
+        # small exact counts
+        tol = max(0.08 * r.exact_users, 2)
+        assert abs(r.hll_users - r.exact_users) <= tol, r
+        assert abs(r.approx_users - r.exact_users) <= max(0.1 * r.exact_users, 2), r
+
+
 def test_decontaminate_plan_broadcasts_eval_side(spark):
     eval_df = _docs(spark, [(100, "alpha beta gamma delta")])
     corpus = _docs(spark, [(1, "x alpha beta gamma y")])

@@ -2292,18 +2292,30 @@ _FRONT = [
     "q57_tfidf_top_terms",
     "q58_sketch_percentiles",
     "q59_hll_distinct",
+    # north-rule pipeline checks — must never fall outside the cap:
+    "q90_kg_triples",
+    "q91_mention_extraction",
+    "q92_vendor_scorecards",
+    "q93_doc_neardup_dedup",
 ]
-# If the snapshot is capped at 50, ten entries get no row this round; the
-# sacrifice is chosen EXPLICITLY: plain relational/function-surface queries
-# that were hash-green in BOTH r1 and r2 go last, so the north-rule pipeline
-# checks (q90-q93) and every never-verified entry stay inside the cap.
+# If the snapshot is capped at 50, sixteen entries get no row this round;
+# the sacrifice is chosen EXPLICITLY: plain relational/function-surface
+# queries that were hash-green in BOTH r1 and r2 go last, so the north-rule
+# pipeline checks (q90-q93, pinned into _FRONT) and every never-verified
+# entry stay inside the cap.
 _BACK = [
+    "q02_filter_project",
+    "q04_weekly_stats",
     "q05_value_stats",
     "q06_monthly_trend",
+    "q08_region_rollup",
     "q09_distinct_users",
     "q10_union_dedup",
     "q11_topk_orders",
     "q12_dateparts",
+    "q14_conditional_agg",
+    "q20_token_counts",
+    "q28_token_totals",
     "q36_rank_functions",
     "q37_string_functions",
     "q38_pivot",

@@ -389,7 +389,9 @@ def scaling_result(primary: dict, saturated: dict) -> dict:
     return {
         "protocol": "warm interleaved trials spread across the full bench "
                     "runtime, persistent JVM per leg, task.cpus=2, median + "
-                    "IQR + paired + capacity estimators; headline "
+                    "IQR + paired + capacity + clean-rounds estimators "
+                    "(engine-free 4-proc memory-scan weather covariate "
+                    "recorded before every round); headline "
                     "efficiency = raw-of-medians (BENCH/BASELINE.md §2)",
         "cores": primary["cores"],
         "cores_ratio": primary["cores_ratio"],

@@ -1514,6 +1514,53 @@ def q64_gap_fill_locf(spark, sf_dir):
 
 
 @q(
+    "q65_dedup_keep_best",
+    """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               array_to_string((string_split(text, ' '))[1:5], ' ') AS dkey
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, n_chars, dkey,
+               row_number() OVER (
+                   PARTITION BY dkey ORDER BY n_chars DESC, doc_id) AS rk,
+               count(*) OVER (PARTITION BY dkey) AS group_size
+        FROM keyed
+    )
+    SELECT doc_id, n_chars, group_size
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q65_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup: among documents sharing a 5-token prefix
+    fingerprint (title/URL-prefix-style key — 24 real collisions at test
+    scale), KEEP THE BEST copy (longest, tie by min doc_id) rather than an
+    arbitrary one — the policy real training pipelines want (drop the
+    truncated scrape, keep the full page). One window over the key
+    partitioning does rank + group size in a single shuffle; at 100 TB the
+    same shape runs per near-dup CLUSTER (q93's CC output) with a learned
+    quality score in place of length."""
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).alias("dkey"),
+    )
+    wk = Window.partitionBy("dkey")
+    ranked = keyed.select(
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(wk.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rk"),
+        F.count("*").over(wk).alias("group_size"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "doc_id", "n_chars", "group_size"
+    )
+
+
+@q(
     "q25_quality_scores",
     """
     SELECT doc_id,
@@ -2484,6 +2531,7 @@ _FRONT = [
     "q62_intersect_except",
     "q63_unpivot_metrics",
     "q64_gap_fill_locf",
+    "q65_dedup_keep_best",
     # north-rule pipeline checks — must never fall outside the cap:
     "q90_kg_triples",
     "q91_mention_extraction",
@@ -2498,6 +2546,7 @@ _FRONT = [
 _BACK = [
     "q02_filter_project",
     "q13_customers_without_orders",
+    "q26_lang_id",
     "q27_fingerprint",
     "q04_weekly_stats",
     "q05_value_stats",

@@ -179,3 +179,27 @@ def test_iceberg_write_failure_propagates_not_replaces(spark, monkeypatch):
         write_partitioned(df, "cat.db.t", coalesce_parts=False, table_format="iceberg")
     assert ("createOrReplace", "cat.db.t") not in calls
     assert ("create", "cat.db.t") not in calls
+
+
+def test_orc_roundtrip_with_predicate_pushdown(spark, tmp_path):
+    """Format breadth: ORC is Spark-native (no extra jar) and a common
+    interchange format on Hadoop-era lakes; verify byte-exact roundtrip of
+    the source_files shape plus pushed-down predicates in the scan plan."""
+    src = synth_source_files(spark, 300, partitions=4)
+    out = str(tmp_path / "orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == 300
+    sha = F.sha2(F.col("content"), 256).alias("sha")
+    a = sorted((r.repo, r.path, r.sha) for r in
+               src.select("repo", "path", sha).collect())
+    b = sorted((r.repo, r.path, r.sha) for r in
+               back.select("repo", "path", sha).collect())
+    assert a == b
+    plan = (
+        back.filter(F.col("lang") == "python")
+        .select("repo")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # filter must reach the ORC reader, not evaluate post-scan only
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:80]

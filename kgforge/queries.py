@@ -2253,15 +2253,12 @@ def q92_vendor_scorecards(spark, sf_dir):
     )
 
 
-@q("q93_doc_neardup_dedup", None)
-def q93_doc_neardup_dedup(spark, sf_dir):
-    """Near-duplicate DOCUMENT dedup end-to-end: MinHash band signatures ->
-    candidate pairs -> connected components (transitive closure) -> keep
-    min doc_id per cluster. The corpus-curation composition of kgforge.link
-    + kgforge.canon; rows-only (iterative CC not SQL-expressible)."""
+def doc_neardup_components(d: DataFrame) -> DataFrame:
+    """documents -> (mention_id=doc_id, component_id) via xxhash64 MinHash
+    band signatures -> band-equality candidate pairs -> iterative connected
+    components. Shared by q93 (dedup) and q66 (leakage-free split)."""
     from kgforge import canon
 
-    d = t(spark, sf_dir, "documents")
     sh = textops.word_shingles(F.col("text"), 3)
     # production path: xxhash64 band signatures (minhash_band_sig_fast);
     # the md5 twin stays in q22 where the DuckDB oracle needs it
@@ -2293,7 +2290,17 @@ def q93_doc_neardup_dedup(spark, sf_dir):
         .dropDuplicates(["src", "dst"])
     )
     vertices = d.select(F.col("doc_id").alias("mention_id"))
-    assign = canon.connected_components(vertices, edges)
+    return canon.connected_components(vertices, edges)
+
+
+@q("q93_doc_neardup_dedup", None)
+def q93_doc_neardup_dedup(spark, sf_dir):
+    """Near-duplicate DOCUMENT dedup end-to-end: MinHash band signatures ->
+    candidate pairs -> connected components (transitive closure) -> keep
+    min doc_id per cluster. The corpus-curation composition of kgforge.link
+    + kgforge.canon; rows-only (iterative CC not SQL-expressible)."""
+    d = t(spark, sf_dir, "documents")
+    assign = doc_neardup_components(d)
     survivors = assign.groupBy("component_id").agg(
         F.min("mention_id").alias("kept_doc_id"),
         F.count("*").alias("cluster_size"),
@@ -2305,6 +2312,41 @@ def q93_doc_neardup_dedup(spark, sf_dir):
         ),
         F.sum("cluster_size").alias("n_docs"),
         F.max("cluster_size").alias("max_cluster"),
+    )
+
+
+def leakage_free_split(
+    d: DataFrame, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Train/val/test split with NO leakage across near-duplicate clusters:
+    the split is assigned to the CLUSTER (hash of its component id), and
+    every member document inherits it — a near-dup of a training doc can
+    never land in test (the contamination q45's per-doc hash split cannot
+    rule out). Returns (doc_id, component_id, split). Deterministic; the
+    pytest asserts the no-cluster-spans-two-splits invariant."""
+    assign = doc_neardup_components(d)
+    bucket = F.pmod(F.xxhash64(F.col("component_id").cast("string")), F.lit(100))
+    return assign.select(
+        F.col("mention_id").alias("doc_id"),
+        "component_id",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@q("q66_leakage_free_split", None)
+def q66_leakage_free_split(spark, sf_dir):
+    """Cluster-aware corpus split summary: near-dup components (q93's
+    machinery) -> split-by-cluster-hash -> per-split doc and cluster
+    counts. Rows-only (iterative CC not SQL-expressible); the splitting
+    invariant is pytest-asserted instead."""
+    d = t(spark, sf_dir, "documents")
+    s = leakage_free_split(d)
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("component_id").alias("n_clusters"),
     )
 
 
@@ -2532,6 +2574,7 @@ _FRONT = [
     "q63_unpivot_metrics",
     "q64_gap_fill_locf",
     "q65_dedup_keep_best",
+    "q66_leakage_free_split",
     # north-rule pipeline checks — must never fall outside the cap:
     "q90_kg_triples",
     "q91_mention_extraction",
@@ -2544,6 +2587,7 @@ _FRONT = [
 # pipeline checks (q90-q93, pinned into _FRONT) and every never-verified
 # entry stay inside the cap.
 _BACK = [
+    "q35_sessionization",
     "q02_filter_project",
     "q13_customers_without_orders",
     "q26_lang_id",

@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1561,6 +1562,65 @@ def q65_dedup_keep_best(spark, sf_dir):
 
 
 @q(
+    "q67_cogroup_funnel",
+    """
+    WITH clicks AS (
+        SELECT user_id, min(ts) AS first_click
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), buys AS (
+        SELECT e.user_id, min(e.ts) AS first_buy
+        FROM events e JOIN clicks c
+          ON e.user_id = c.user_id AND e.ts > c.first_click
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT c.user_id,
+           epoch_us(c.first_click) AS first_click_us,
+           epoch_us(b.first_buy) AS first_buy_us,
+           epoch_us(b.first_buy) - epoch_us(c.first_click) AS lag_us
+    FROM clicks c LEFT JOIN buys b USING (user_id)
+    """,
+)
+def q67_cogroup_funnel(spark, sf_dir):
+    """Cogrouped applyInPandas (the remaining pandas-API entry point):
+    per-user funnel reconciliation — first click, first purchase strictly
+    AFTER that click, and the lag — computed by cogrouping the click and
+    purchase streams on user_id and merging each pair of per-user frames
+    in one Python function. The ORACLE is plain SQL (min + conditional
+    join), so the cogroup path is hash-verified, not rows-only. Scale
+    shape: one co-partitioned shuffle of both sides on the key, then
+    embarrassingly parallel per-key Arrow batches; the per-key python
+    work is O(events of that user). Epoch microseconds emitted as longs
+    (cross-engine timestamp stringification differs)."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    def merge(key, cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty:
+            return pd.DataFrame(
+                columns=["user_id", "first_click_us", "first_buy_us", "lag_us"]
+            )
+        first_click = cdf["ts"].min()
+        after = bdf[bdf["ts"] > first_click]
+        fc_us = first_click.value // 1000
+        if after.empty:
+            fb_us = None
+            lag = None
+        else:
+            fb_us = after["ts"].min().value // 1000
+            lag = fb_us - fc_us
+        return pd.DataFrame(
+            [(key[0], fc_us, fb_us, lag)],
+            columns=["user_id", "first_click_us", "first_buy_us", "lag_us"],
+        )
+
+    return clicks.groupBy("user_id").cogroup(buys.groupBy("user_id")).applyInPandas(
+        merge,
+        schema="user_id long, first_click_us long, first_buy_us long, lag_us long",
+    )
+
+
+@q(
     "q25_quality_scores",
     """
     SELECT doc_id,
@@ -2575,6 +2635,7 @@ _FRONT = [
     "q64_gap_fill_locf",
     "q65_dedup_keep_best",
     "q66_leakage_free_split",
+    "q67_cogroup_funnel",
     # north-rule pipeline checks — must never fall outside the cap:
     "q90_kg_triples",
     "q91_mention_extraction",
@@ -2588,6 +2649,7 @@ _FRONT = [
 # entry stay inside the cap.
 _BACK = [
     "q35_sessionization",
+    "q07_segment_revenue",
     "q02_filter_project",
     "q13_customers_without_orders",
     "q26_lang_id",

@@ -263,6 +263,7 @@ def read_zip_members(spark, path_glob: str) -> DataFrame:
 ZIP_MANIFEST = StructType(
     [
         StructField("archive", StringType(), False),
+        StructField("file", StringType(), False),
         StructField("n_members", IntegerType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("sha256", StringType(), False),
@@ -292,9 +293,11 @@ def write_zip_archives(
     Hadoop committer. ``out_dir`` must be a filesystem all executors share
     (the standard Spark output-directory contract).
 
-    Returns the manifest (archive, n_members, n_bytes, sha256); running an
-    action on it performs the write. Archive keys are used as file names
-    with path separators sanitized.
+    Returns the manifest (archive=raw key, file=output filename, n_members,
+    n_bytes, sha256); running an action on it performs the write. Archive
+    keys are used as file names; a key containing a path separator is
+    sanitized AND suffixed with sha1(raw_key)[:8] so distinct keys like
+    ``a/b`` and ``a_b`` cannot collide onto one output file (ADVICE r3).
     """
     import hashlib
     import os
@@ -311,15 +314,19 @@ def write_zip_archives(
                 zi.compress_type = zipfile.ZIP_DEFLATED
                 z.writestr(zi, bytes(p))
         data = buf.getvalue()
-        name = str(pdf[archive_col].iloc[0]).replace(os.sep, "_").replace("/", "_")
+        raw = str(pdf[archive_col].iloc[0])
+        name = raw.replace(os.sep, "_").replace("/", "_")
+        if name != raw:  # sanitization is lossy -> make the filename injective
+            name = f"{name}-{hashlib.sha1(raw.encode('utf-8')).hexdigest()[:8]}"
         final = os.path.join(out_dir, f"{name}.zip")
         tmp = f"{final}.tmp-{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, final)  # atomic on one FS; idempotent on retry
         return pd.DataFrame(
-            [[name, len(pdf), len(data), hashlib.sha256(data).hexdigest()]],
-            columns=["archive", "n_members", "n_bytes", "sha256"],
+            [[raw, f"{name}.zip", len(pdf), len(data),
+              hashlib.sha256(data).hexdigest()]],
+            columns=["archive", "file", "n_members", "n_bytes", "sha256"],
         )
 
     return (

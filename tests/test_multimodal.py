@@ -193,3 +193,27 @@ def test_zip_sink_roundtrip_deterministic_idempotent(spark, tmp_path):
     assert got[("chan_a.zip", "notes.txt")] == b"hello world"
     assert got[("chan_b.zip", "snd/two.wav")] == bytes(rows[2][2])
     assert len(got) == 3
+
+
+def test_zip_sink_separator_keys_do_not_collide(spark, tmp_path):
+    """ADVICE r3: 'a/b' and 'a_b' both sanitize to 'a_b' — the sink must
+    write two distinct files (separator keys get an injective hash suffix)
+    and the manifest must report the RAW key plus the filename used."""
+    import os
+
+    from kgforge.multimodal import write_zip_archives
+
+    df = spark.createDataFrame(
+        [
+            ("a/b", "m1.txt", bytearray(b"from slash key")),
+            ("a_b", "m1.txt", bytearray(b"from underscore key")),
+        ],
+        "archive string, member string, payload binary",
+    )
+    out = str(tmp_path / "zips")
+    manifest = {r.archive: r for r in write_zip_archives(df, out).collect()}
+    assert set(manifest) == {"a/b", "a_b"}
+    files = sorted(os.listdir(out))
+    assert len(files) == 2 and manifest["a_b"].file == "a_b.zip"
+    assert manifest["a/b"].file != "a_b.zip"
+    assert {manifest["a/b"].file, manifest["a_b"].file} == set(files)

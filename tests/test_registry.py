@@ -1,0 +1,51 @@
+"""Driver-snapshot rotation invariants (VERDICT r3 #1).
+
+The correctness driver snapshots only the first ~50 registry entries per
+round; rotation must guarantee every query regains a driver row at least
+every other round. These tests pin the contract: pinned north-rule checks
+first, then strictly ascending staleness (never-verified before oldest-
+verified before newest-verified), reproducible from the committed
+CORRECTNESS_r*.json artifacts alone.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from kgforge.queries import _PINNED, REGISTRY, _last_driver_round
+
+SNAPSHOT_CAP = 50
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_pinned_queries_lead_the_registry():
+    names = list(REGISTRY)
+    assert names[: len(_PINNED)] == _PINNED
+
+
+def test_rotation_is_ascending_staleness():
+    seen = _last_driver_round()
+    tail = [seen.get(k, -1) for k in list(REGISTRY)[len(_PINNED):]]
+    assert tail == sorted(tail)
+
+
+def test_latest_round_absentees_fit_in_snapshot():
+    """Every query with no row in the LATEST driver round must sit inside
+    the next round's snapshot prefix (that's the whole point of rotating)."""
+    rounds = sorted(
+        int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
+        for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+    )
+    if not rounds:
+        return  # fresh clone without driver artifacts: nothing to assert
+    latest = json.load(
+        open(os.path.join(ROOT, f"CORRECTNESS_r{rounds[-1]:02d}.json"))
+    )
+    prefix = set(list(REGISTRY)[:SNAPSHOT_CAP])
+    absent = [k for k in REGISTRY if k not in latest]
+    # rotation can only fit cap-many; absentees beyond the cap would mean
+    # the registry outgrew two-round coverage — fail loudly, don't drift
+    assert len(absent) + len(_PINNED) <= SNAPSHOT_CAP
+    assert not [k for k in absent if k not in prefix]

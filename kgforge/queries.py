@@ -2513,16 +2513,28 @@ def q96_tokenized_rows(spark, sf_dir):
 @q("q49_media_features", None)
 def q49_media_features(spark, sf_dir):
     """REAL multimodal decode (rows-only; stdlib codecs): a mixed media
-    table (P6 PPM images, PCM16 WAVs, one JPEG that the dispatcher must
-    skip) -> decode + resize/frame-sample + features via mapInPandas ->
-    per-kind aggregate. Exercises the un-stubbed decode_real path
-    (VERDICT r1 missing #4)."""
-    from kgforge.multimodal import encode_ppm, encode_wav, extract_media_features
+    table (P6 PPM images, real zlib-decoded PNGs with rotating scanline
+    filters, PCM16 WAVs, one JPEG that the dispatcher must skip) ->
+    decode + resize/frame-sample + features via mapInPandas -> per-kind
+    aggregate. Exercises the un-stubbed decode_real path (VERDICT r1
+    missing #4; PNG added r4 per VERDICT r3 #3)."""
+    import numpy as np
+
+    from kgforge.multimodal import (
+        decode_ppm,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+        extract_media_features,
+    )
 
     rows = []
     for i in range(48):
-        if i % 2 == 0:
+        if i % 3 == 0:
             rows.append((i, bytearray(encode_ppm(16 + i % 5, 12 + i % 3, seed=i))))
+        elif i % 3 == 1:
+            img = decode_ppm(encode_ppm(10 + i % 4, 8 + i % 3, seed=i))
+            rows.append((i, bytearray(encode_png(np.asarray(img), filter_type=i % 5))))
         else:
             rows.append((i, bytearray(encode_wav(400 + i * 7, seed=i))))
     rows.append((99, bytearray(b"\xff\xd8\xff\xe0fakejpeg")))

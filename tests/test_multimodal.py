@@ -61,6 +61,101 @@ def test_decode_real_dispatch_and_unsupported():
         decode_real(b"garbage")
 
 
+# --- PNG (VERDICT r3 #3: the real zlib decoder, every filter branch) ---
+
+
+def _test_img(w=13, h=7, seed=5):
+    return decode_ppm(encode_ppm(w, h, seed=seed))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(ftype):
+    """encode with filter f on every scanline -> decode must invert it
+    bit-for-bit (None/Sub/Up/Average/Paeth all exercised)."""
+    from kgforge.multimodal import decode_png, encode_png
+
+    img = _test_img()
+    assert np.array_equal(decode_png(encode_png(img, filter_type=ftype)), img)
+
+
+def test_png_gray_palette_alpha_color_types():
+    """Hand-built gray (type 0), palette (type 3) and RGBA (type 6) PNGs:
+    gray replicates to RGB, palette is looked up, alpha is dropped."""
+    import struct
+    import zlib
+
+    from kgforge.multimodal import _png_chunk, decode_png
+
+    def build(w, h, color, payload, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + extra
+            + _png_chunk(b"IDAT", zlib.compress(payload))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 2x2 gray ramp, filter 0 rows
+    gray = build(2, 2, 0, b"\x00\x0a\x14\x00\x1e\x28")
+    g = decode_png(gray)
+    assert g.shape == (2, 2, 3) and g[0, 0].tolist() == [10, 10, 10]
+    assert g[1, 1].tolist() == [40, 40, 40]
+
+    # 2x1 palette: indices 1,0 into [(255,0,0),(0,255,0)]
+    plte = _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    pal = build(2, 1, 3, b"\x00\x01\x00", extra=plte)
+    p = decode_png(pal)
+    assert p[0, 0].tolist() == [0, 255, 0] and p[0, 1].tolist() == [255, 0, 0]
+
+    # 1x1 RGBA: alpha dropped
+    rgba = build(1, 1, 6, b"\x00\x09\x08\x07\x80")
+    assert decode_png(rgba)[0, 0].tolist() == [9, 8, 7]
+
+
+def test_png_rejects_corruption_and_unsupported():
+    from kgforge.multimodal import decode_png, encode_png
+
+    blob = bytearray(encode_png(_test_img()))
+    blob[40] ^= 0xFF  # flip a byte inside IDAT -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"P6 not a png")
+
+
+def test_decode_real_png_matches_ppm_features():
+    """The same pixels through PPM and PNG containers must yield identical
+    features (the codec is lossless; only `kind` differs)."""
+    from kgforge.multimodal import encode_png
+
+    img = _test_img(16, 12, seed=3)
+    via_ppm = decode_real(encode_ppm(16, 12, seed=3))
+    via_png = decode_real(encode_png(img, filter_type=4))
+    assert via_png["kind"] == "image/png"
+    assert via_png["width"] == 16 and via_png["height"] == 12
+    assert via_png["features"] == via_ppm["features"]
+
+
+def test_spark_png_decode_executor_local_identity(spark):
+    """PNG decode on executors (mapInPandas) == local decode, including a
+    mix of scanline filters across rows."""
+    from kgforge.multimodal import encode_png
+
+    rows = [
+        (i, bytearray(encode_png(_test_img(9 + i % 4, 6 + i % 3, seed=i),
+                                 filter_type=i % 5)))
+        for i in range(10)
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in extract_media_features(media).collect()}
+    assert len(out) == 10
+    for i in range(10):
+        local = decode_real(bytes(rows[i][1]))
+        assert out[i].kind == "image/png"
+        assert out[i].features == local["features"]
+
+
 def test_spark_media_features_end_to_end(spark):
     rows = [(0, bytearray(encode_ppm(16, 12, seed=0))),
             (1, bytearray(encode_wav(500, seed=1))),

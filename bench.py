@@ -16,17 +16,25 @@ Methodology (BENCH/BASELINE.md §2):
   warmup is reported separately under queries_cold so regressions in either
   are visible (VERDICT r1 item 10);
 - KG throughput: run_kg over a pre-materialized seeded synthetic corpus,
-  best-of-2 (single-shot wall time on this shared VM swings up to 6x with
-  host weather; see scaling.host_drift_control);
+  MEDIAN of 3 spread runs with a weather covariate recorded per run
+  (single-shot wall time on this shared VM swings up to 6x with host
+  weather; best-of-2 max-picking was VERDICT r3's weakest number);
+- query section: the same engine-free weather covariate sampled before
+  and after (queries_weather_gbps), so warm-timing drift is attributable
+  inside one artifact;
 - scaling: N vs 4N = local[2] vs local[8] primary (+ saturated 8 vs 32
   secondary), measured WARM and INTERLEAVED: two persistent leg JVMs, one
   untimed warmup pass each, then ROUNDS alternating lo/hi timed passes.
   Reported: per-leg medians + IQR, raw efficiency (median_hi/median_lo)/4,
-  and paired efficiency (median over rounds of per-round ratios — adjacent
-  trials cancel the host's measured 1.8x single-thread speed drift).
-  Controls in the same JSON: the single-thread drift probe and a pure-CPU
-  multiprocess md5 probe at the same 8-vs-32 parallelism (the host ceiling
-  the VERDICT asked to ship with the artifact).
+  paired efficiency (median over rounds of per-round ratios — adjacent
+  trials cancel the host's measured 1.8x single-thread speed drift), and
+  efficiency_normalized_per_round (VERDICT r3 #2): each round's paired
+  raw efficiency divided by the SAME round's mem-scan covariate scaling
+  efficiency at identical lo/hi parallelism, median over rounds — the
+  per-round version of the session-level mem-ceiling normalization that
+  r3 archived at 0.874 on the saturated pair. Controls in the same JSON:
+  the single-thread drift probe and pure-CPU md5 + mem-scan probes at the
+  same parallelism (the host ceilings the VERDICT asked to ship).
 """
 
 from __future__ import annotations
@@ -54,7 +62,7 @@ SCALE_CORPUS = f"/tmp/kgforge_scaling_corpus_{SCALE_FILES}_p512"
 # control at the same parallelism.
 LO_CORES, HI_CORES = 2, 8
 SAT_LO, SAT_HI = 8, 32
-SAT_ROUNDS = int(os.environ.get("KGFORGE_SAT_ROUNDS", "4"))
+SAT_ROUNDS = int(os.environ.get("KGFORGE_SAT_ROUNDS", "5"))
 # The saturated pair needs a 4x larger corpus than the primary pair: at
 # 8/32 cores the 200k-file job finishes in ~6 s, which is fixed-cost
 # (stage setup + scheduling) dominated and measured 0.26 "efficiency" that
@@ -76,6 +84,8 @@ HEADLINE = [
     "q25_quality_scores",
     "q29_cosine_topk",
     "q31_centroid_cosine",
+    "q68_global_shuffle",
+    "q69_range_join_grid",
 ]
 
 
@@ -302,6 +312,8 @@ class PairSchedule:
         self.lo_t: list[float] = []
         self.hi_t: list[float] = []
         self.probes: list[float] = []
+        self.cov_eff: list[float] = []  # per-round mem-scan scaling eff
+        self.cov_rates: list[list[float]] = []
 
     def round(self):
         if len(self.lo_t) == self.restart_after:
@@ -311,13 +323,22 @@ class PairSchedule:
             self.lo_leg = Leg(self.lo, self.corpus)
             self.hi_leg = Leg(self.hi, self.corpus)
         probe = weather_probe()
+        # per-ROUND covariate (VERDICT r3 #2): the mem-scan probe at this
+        # pair's OWN lo/hi parallelism, sampled immediately before the legs
+        # run — the engine-free scaling ceiling of the same minute, not of
+        # the whole session. r3 normalized at session level while storms
+        # are round-level; this closes that mismatch.
+        cov = mem_bandwidth_probe(self.lo, self.hi, dur=1.5)
         a = self.lo_leg.run()
         b = self.hi_leg.run()
         self.probes.append(probe)
+        self.cov_eff.append(cov["efficiency"])
+        self.cov_rates.append(cov["rates_gbps"])
         self.lo_t.append(a["sec"])
         self.hi_t.append(b["sec"])
         log(f"  scaling round {len(self.lo_t)} [{self.lo}v{self.hi}]: "
-            f"lo {a['sec']}s  hi {b['sec']}s  (weather {probe} GB/s)")
+            f"lo {a['sec']}s  hi {b['sec']}s  (weather {probe} GB/s, "
+            f"cov eff {cov['efficiency']})")
 
     def close(self):
         self.lo_leg.close()
@@ -350,6 +371,19 @@ class PairSchedule:
             / statistics.median(hi_t[i] for i in clean)
         ) / ratio
 
+        # per-round normalization (VERDICT r3 #2): each round's paired raw
+        # efficiency divided by the SAME round's mem-scan covariate
+        # efficiency, median over rounds. Every term is published below
+        # (paired_raw_per_round / covariate_eff_per_round), so the math is
+        # reproducible from this artifact alone.
+        paired_raw = [round((a / b) / ratio, 3) for a, b in zip(lo_t, hi_t)]
+        norm_rounds = [
+            round(p / c, 3) for p, c in zip(paired_raw, self.cov_eff) if c > 0
+        ]
+        eff_norm_per_round = (
+            round(statistics.median(norm_rounds), 3) if norm_rounds else None
+        )
+
         ceiling = host_ceiling_probe(lo, hi)
         mem_ceiling = mem_bandwidth_probe(lo, hi)
         eff = round(eff_raw, 3)
@@ -369,6 +403,11 @@ class PairSchedule:
             "efficiency_paired_median": round(eff_paired, 3),
             "efficiency_capacity": round(eff_capacity, 3),
             "efficiency_clean_rounds": round(eff_clean, 3),
+            "paired_raw_per_round": paired_raw,
+            "covariate_eff_per_round": self.cov_eff,
+            "covariate_rates_per_round": self.cov_rates,
+            "norm_per_round": norm_rounds,
+            "efficiency_normalized_per_round": eff_norm_per_round,
             "weather_probe_gbps": self.probes,
             "n_clean_rounds": len(clean),
             "host_ceiling_control": ceiling,
@@ -459,26 +498,48 @@ def main() -> int:
     saturated.round()
     primary.round()
 
+    # weather covariate sampled ADJACENT to the query section (VERDICT r3
+    # #4): r3's warm timings drifted 1.4-1.9x session-wide with nothing in
+    # the artifact to attribute it; [before, after] GB/s makes query drift
+    # interpretable inside one artifact.
+    queries_weather = [weather_probe()]
     spark = new_session(CPUS)
     log(f"headline queries at {SF_DIR} on local[{CPUS}] (cold + warm)")
     queries, queries_cold = run_queries(spark)
     spark.stop()
+    queries_weather.append(weather_probe())
 
     if time_left() > 360:
         primary.round()
     if time_left() > 360:
         saturated.round()
 
-    log(f"full KG pipeline at local[{CPUS}] (best of 2)")
+    # KG headline = MEDIAN of 3 runs with a weather covariate per run
+    # (VERDICT r3 #5: best-of-2 max-picking was the artifact's weakest
+    # number). Runs are spread across the schedule; later runs shed under
+    # budget pressure (median of 2 = mean; of 1 = itself, flagged by n).
+    log(f"full KG pipeline at local[{CPUS}] (median of 3)")
+    kg_weather = [weather_probe()]
     runs = [run_full_kg(CPUS)]
     if time_left() > 240:
         primary.round()
     if time_left() > 240:
         saturated.round()
     if time_left() > 300:
+        kg_weather.append(weather_probe())
         runs.append(run_full_kg(CPUS))
-    full = max(runs, key=lambda r: r["triples_per_sec"])
-    full["runs_triples_per_sec"] = [r["triples_per_sec"] for r in runs]
+    if time_left() > 300:
+        kg_weather.append(weather_probe())
+        runs.append(run_full_kg(CPUS))
+    run_rates = [r["triples_per_sec"] for r in runs]
+    kg_median = statistics.median(run_rates)
+    # keep the detail block of the median-closest run (exact median run
+    # for odd n), but the headline VALUE is the median itself
+    full = min(runs, key=lambda r: abs(r["triples_per_sec"] - kg_median))
+    full["triples_per_sec"] = round(kg_median, 1)
+    full["runs_triples_per_sec"] = run_rates
+    full["runs_weather_gbps"] = kg_weather
+    full["headline_rule"] = f"median_of_{len(runs)}"
     log(f"  {full}")
 
     for _ in range(max(0, ROUNDS - 4)):
@@ -505,6 +566,7 @@ def main() -> int:
         "unit": "sec",
         "queries": queries,
         "queries_cold": queries_cold,
+        "queries_weather_gbps": queries_weather,
         "sf": float(sf),
         "kg": full,
         "scaling": scaling,
@@ -530,13 +592,22 @@ def main() -> int:
             "md5_ceiling": pair["host_ceiling_control"]["efficiency"],
             "mem_ceiling": pair["mem_bandwidth_control"]["efficiency"],
             "efficiency_normalized": pair["efficiency_vs_mem_ceiling"],
+            # per-ROUND normalized gate (VERDICT r3 #2): median over rounds
+            # of paired_raw_i / same-round mem-covariate eff_i; the full
+            # per-round arrays live in the artifact
+            "eff_norm_round": pair["efficiency_normalized_per_round"],
+            "paired_raw": pair["paired_raw_per_round"],
+            "cov_eff": pair["covariate_eff_per_round"],
         }
 
     out = {
         "metric": "triples_per_sec",
         "value": full["triples_per_sec"],
         "unit": "sec",
+        "kg_runs": full["runs_triples_per_sec"],
+        "kg_rule": full["headline_rule"],
         "queries": queries,
+        "queries_weather_gbps": queries_weather,
         "sf": float(sf),
         "scaling": {
             "efficiency_extract": scaling["efficiency_extract"],
@@ -545,8 +616,23 @@ def main() -> int:
         },
         "artifact": "BENCH/last_run.json",
     }
+    # Stay inside the driver's ~4 KB stdout tail-capture: DEGRADE, never
+    # crash (ADVICE r3: the old assert would have reintroduced the r2
+    # parsed-nothing failure after all measurements succeeded). Drop the
+    # bulkiest optional fields one at a time until the line fits; the full
+    # artifact always has everything.
+    for victim in ("queries", "paired_raw", "cov_eff", "kg_runs"):
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) < 1900:
+            break
+        if victim == "queries":
+            out["queries"] = "see_artifact"
+        elif victim in ("paired_raw", "cov_eff"):
+            for p in ("primary", "saturated"):
+                out["scaling"][p].pop(victim, None)
+        else:
+            out.pop(victim, None)
     line = json.dumps(out, separators=(",", ":"))
-    assert len(line) < 2000, f"headline line too long ({len(line)} chars)"
     print(line)
     return 0
 

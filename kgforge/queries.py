@@ -984,6 +984,55 @@ def q50_sequence_packing_sharded(spark, sf_dir):
     )
 
 
+def global_shuffle(docs: DataFrame, seed: int = 42, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle (VERDICT r3 #7) — the
+    standard LLM-pipeline op of fixing a reproducible corpus order before
+    sequence packing (feeds pack_sequences/q46/q50).
+
+    Order = sort by md5(seed ':' key): a pure function of (seed, row key),
+    so the permutation is identical across engines, partition counts, and
+    input orders — unlike Spark's own ``rand(seed)``, whose draws depend on
+    partition layout. Spark executes ``orderBy`` as a range-partitioned
+    distributed sort (sample -> range boundaries -> shuffle -> in-partition
+    sort): every partition sorts ~1/N of the corpus, no single-reducer
+    stage (plan-asserted in tests). The 100 TB path swaps xxhash64 for md5
+    (~3x cheaper per r3's measured A/B, same shape) at the cost of DuckDB
+    reproducibility; md5 is the oracle-checkable twin.
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
+    )
+    return docs.withColumn("shuffle_key", key).orderBy("shuffle_key", key_col)
+
+
+@q(
+    "q68_global_shuffle",
+    """
+    WITH keyed AS (
+        SELECT doc_id, md5('42:' || doc_id) AS shuffle_key FROM documents
+    ), topn AS (
+        SELECT doc_id, shuffle_key FROM keyed
+        ORDER BY shuffle_key, doc_id LIMIT 50
+    )
+    SELECT row_number() OVER (ORDER BY shuffle_key, doc_id) AS position,
+           doc_id, shuffle_key
+    FROM topn
+    """,
+)
+def q68_global_shuffle(spark, sf_dir):
+    """Seeded corpus shuffle, oracle-checked: the first 50 docs of the
+    seed-42 global order with their positions and keys. The limit keeps
+    the oracle row set small; the FULL permutation's determinism (seed
+    stability, partitioning invariance, distinct seeds -> distinct orders)
+    is property-tested in tests/test_textops.py."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    top = global_shuffle(d, seed=42).limit(50)
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return top.withColumn("position", F.row_number().over(w)).select(
+        "position", "doc_id", "shuffle_key"
+    )
+
+
 _EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _LONGNUM_PAT = r"[0-9]{9,}"
 _URL_PAT = r"https?://[^ ]+"
@@ -1027,6 +1076,196 @@ def q54_range_join_bands(spark, sf_dir):
     return j.groupBy("band_id", "lo").agg(
         F.count("*").alias("n_orders"),
         _dec_sum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+def grid_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    cell: float = 1000.0,
+) -> DataFrame:
+    """LARGE-LARGE range join via coarse-grid bucketing (VERDICT r3 #8 —
+    the documented scale variant q54's broadcast path can't cover).
+
+    Neither side broadcasts: intervals explode to the grid cells they
+    overlap (sequence(floor(lo/cell), floor((hi-eps)/cell)) — cheap when
+    cell ~ interval width, so each interval lands in O(1) cells), points
+    map to exactly ONE cell (floor(v/cell) — no post-join dedup needed),
+    and the two sides meet in a shuffled EQUI-join on cell followed by the
+    exact lo <= v < hi filter. Plan-asserted: SortMergeJoin, no broadcast,
+    no cartesian (tests/test_plans.py). Skewed cells (a hot value range)
+    are handled by AQE skew-join the same as any equi-join; cell size
+    trades explode factor against per-cell fan-in.
+    """
+    eps = 1e-9
+    cells = intervals.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / cell),
+                F.floor((F.col(hi_col) - F.lit(eps)) / cell),
+            )
+        ),
+    )
+    pts = points.withColumn("cell", F.floor(F.col(value_col) / cell))
+    return pts.join(cells.hint("merge"), "cell").filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    )
+
+
+@q(
+    "q69_range_join_grid",
+    """
+    WITH bands AS (
+        SELECT i AS band_id, (i * 500)::double AS lo,
+               (i * 500 + 2200)::double AS hi
+        FROM range(0, 200) t(i)
+    )
+    SELECT band_id, count(*) AS n_orders,
+           sum(cast(o_totalprice AS decimal(18,2)))::double AS sum_price
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_id
+    """,
+)
+def q69_range_join_grid(spark, sf_dir):
+    """The large-large range join: 200 overlapping price bands x orders
+    through grid_range_join (cell=1000, each band spans ~3 cells), agg per
+    band. The DuckDB oracle runs the plain non-equi join — identical
+    results prove the grid decomposition is lossless. The Spark side
+    deliberately avoids broadcast (merge hint): this is the shape both
+    sides keep at fact-scale."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(0, 200).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 500).cast("double").alias("lo"),
+        (F.col("id") * 500 + 2200).cast("double").alias("hi"),
+    )
+    j = grid_range_join(o, bands, "o_totalprice", cell=1000.0)
+    return j.groupBy("band_id").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+@q(
+    "q70_domain_mix_temperature",
+    """
+    WITH counts AS (
+        SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ), tot AS (
+        SELECT sum(sqrt(n_s)) AS w_tot, sum(n_s) AS n_tot FROM counts
+    ), rates AS (
+        SELECT source, n_s,
+               CAST(round(least(1.0,
+                   (sqrt(n_s) / w_tot) * (n_tot / 2.0) / n_s) * 1000000)
+                    AS BIGINT) AS rate_ppm
+        FROM counts, tot
+    )
+    SELECT r.source, r.n_s, r.rate_ppm, count(*) AS n_kept
+    FROM documents d JOIN rates r USING (source)
+    WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000000 < r.rate_ppm
+    GROUP BY r.source, r.n_s, r.rate_ppm
+    """,
+)
+def q70_domain_mix_temperature(spark, sf_dir):
+    """Temperature-weighted domain mixing (the pretraining-mix op behind
+    q45's flat-rate sampling): per-source sampling rates DERIVED from the
+    data — weight w_s = n_s^T with T=0.5 (sqrt upsamples rare sources,
+    the standard multilingual/multi-domain reweighting), target half the
+    corpus, rate_s = min(1, share_s * N_target / n_s) quantized to ppm so
+    the keep decision is an exact INTEGER comparison in both engines.
+    Keep iff knuth_hash(doc_id) ppm-bucket < rate_ppm: deterministic
+    across engines/partitionings like q45, but with the rate table
+    computed from a tiny per-source agg that is broadcast back — the
+    corpus side stays one map-side filter (no shuffle of the 100 TB fact
+    table; production swaps xxhash64 for the multiplicative hash)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = counts.agg(
+        F.sum(F.sqrt("n_s")).alias("w_tot"), F.sum("n_s").alias("n_tot")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.sqrt("n_s") / F.col("w_tot"))
+                    * (F.col("n_tot") / F.lit(2.0))
+                    / F.col("n_s"),
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("rate_ppm"),
+        )
+    )
+    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(1000000)
+    kept = d.join(F.broadcast(rates), "source").filter(h < F.col("rate_ppm"))
+    return kept.groupBy("source", "n_s", "rate_ppm").agg(
+        F.count("*").alias("n_kept")
+    )
+
+
+@q(
+    "q71_embedding_quantize_int8",
+    """
+    WITH q AS (
+        SELECT vec_id, label,
+               list_min(embedding)::double AS zero_point,
+               (list_max(embedding)::double - list_min(embedding)::double)
+                   / 255.0 AS scale,
+               list_sum(list_transform(embedding, x ->
+                   round((x::double - list_min(embedding)::double) /
+                         ((list_max(embedding)::double
+                           - list_min(embedding)::double) / 255.0))
+               ))::bigint AS qsum
+        FROM embeddings
+    )
+    SELECT label, count(*) AS n_vecs,
+           sum(qsum)::bigint AS total_qsum,
+           round(avg(scale), 6) AS avg_scale,
+           round(avg(zero_point), 6) AS avg_zero
+    FROM q GROUP BY label
+    """,
+)
+def q71_embedding_quantize_int8(spark, sf_dir):
+    """Per-vector affine int8 quantization (the storage/ANN-compression
+    op for embedding tables at 100 TB): scale=(max-min)/255, zero=min,
+    q_i = round((x_i-zero)/scale) — all inside Catalyst array expressions
+    (aggregate/transform), zero Python, map-only until the per-label agg.
+    The per-vector quantized checksum (exact integer) makes every element
+    of every vector part of the verified result. Elementwise double math
+    is engine-deterministic (no accumulation-order dependence; qsum is a
+    sum of exact small integers)."""
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    vmin = F.array_min(emb).cast("double")
+    vmax = F.array_max(emb).cast("double")
+    scale = (vmax - vmin) / F.lit(255.0)
+    qsum = F.aggregate(
+        F.transform(emb, lambda x: F.round((x.cast("double") - vmin) / scale)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+    per_vec = e.select(
+        "vec_id",
+        "label",
+        vmin.alias("zero_point"),
+        scale.alias("scale"),
+        qsum.alias("qsum"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("qsum").alias("total_qsum"),
+        F.round(F.avg("scale"), 6).alias("avg_scale"),
+        F.round(F.avg("zero_point"), 6).alias("avg_zero"),
     )
 
 
@@ -2306,11 +2545,107 @@ def q39_array_ops(spark, sf_dir):
 @q("q92_vendor_scorecards", None)
 def q92_vendor_scorecards(spark, sf_dir):
     """Vendor analytics (reference §3.3): posts -> batched NER -> per-vendor
-    aggregates -> weighted lending scorecards. Rows-only (model path)."""
+    aggregates -> weighted lending scorecards. Rows-only (model path);
+    q92b is the hash-verified twin through the regex mention path."""
     from kgforge.scorecard import generate_scorecards
     from kgforge.synth import synth_messages
 
     return generate_scorecards(synth_messages(spark, 400)).select(
+        "channel", "n_posts", "avg_weekly_posts", "avg_views",
+        "top_post_id", "avg_price", "product_variety", "lending_score",
+    )
+
+
+@q(
+    "q92b_vendor_scorecards_regex",
+    """
+    WITH posts AS (
+        SELECT 'vendor_' || (user_id % 20) AS channel,
+               event_id AS message_id, ts AS date,
+               CAST(round(value * 100) AS BIGINT) AS views,
+               props, event_type
+        FROM events
+    ), posting AS (
+        SELECT channel, round(avg(n), 4) AS avg_weekly_posts
+        FROM (SELECT channel, year(date) AS y, weekofyear(date) AS w,
+                     count(*) AS n
+              FROM posts GROUP BY channel, y, w)
+        GROUP BY channel
+    ), viewagg AS (
+        SELECT channel, count(*) AS n_posts,
+               round(avg(nullif(views, 0)), 4) AS avg_views
+        FROM posts GROUP BY channel
+    ), top AS (
+        SELECT channel, message_id AS top_post_id
+        FROM (SELECT channel, message_id,
+                     row_number() OVER (PARTITION BY channel
+                                        ORDER BY views DESC, message_id) AS rn
+              FROM posts)
+        WHERE rn = 1
+    ), price AS (
+        SELECT channel, round(avg(amount), 4) AS avg_price
+        FROM (SELECT channel,
+                     try_cast(unnest(regexp_extract_all(props, '([0-9]+)', 1))
+                              AS double) AS amount
+              FROM posts)
+        GROUP BY channel
+    ), variety AS (
+        SELECT channel, count(DISTINCT event_type) AS product_variety
+        FROM posts GROUP BY channel
+    )
+    SELECT p.channel, v.n_posts, p.avg_weekly_posts, v.avg_views,
+           t.top_post_id, pr.avg_price, vr.product_variety,
+           round(least(100.0, 100.0 * (
+               0.4 * least(1.0, greatest(0.0, coalesce(v.avg_views, 0) / 5000.0))
+             + 0.3 * least(1.0, greatest(0.0, coalesce(p.avg_weekly_posts, 0) / 5.0))
+             + 0.2 * least(1.0, greatest(0.0, coalesce(pr.avg_price, 0) / 10000.0))
+             + 0.1 * least(1.0, greatest(0.0, coalesce(vr.product_variety, 0) / 50.0))
+           )), 4) AS lending_score
+    FROM posting p
+    JOIN viewagg v USING (channel)
+    LEFT JOIN top t USING (channel)
+    LEFT JOIN price pr USING (channel)
+    LEFT JOIN variety vr USING (channel)
+    """,
+)
+def q92b_vendor_scorecards_regex(spark, sf_dir):
+    """The north-rule scorecard block (A6-A10 + F18/F19), HASH-VERIFIED
+    (VERDICT r3 #6): the same vendor_metrics -> lending_scores DAG as q92,
+    fed by DETERMINISTIC regex mentions (regexp_extract_all, the F1-F3
+    Catalyst path) over the events table instead of the stand-in model —
+    every aggregate, window, weight and cap is reproduced by the DuckDB
+    oracle. channel = user_id bucket, views = scaled value, PRICE mentions
+    = digit runs in the props JSON, PRODUCT surface = event_type."""
+    from kgforge.scorecard import lending_scores, vendor_metrics
+
+    ev = t(spark, sf_dir, "events")
+    posts = ev.select(
+        F.concat(F.lit("vendor_"), (F.col("user_id") % 20).cast("string")).alias("channel"),
+        F.col("event_id").alias("message_id"),
+        F.col("ts").alias("date"),
+        F.round(F.col("value") * 100).cast("long").alias("views"),
+        "props",
+        "event_type",
+    )
+    price_m = posts.select(
+        "channel",
+        "message_id",
+        F.lit("PRICE").alias("entity_type"),
+        F.explode(
+            F.regexp_extract_all("props", F.lit("([0-9]+)"), 1)
+        ).alias("surface"),
+    )
+    prod_m = posts.select(
+        "channel",
+        "message_id",
+        F.lit("PRODUCT").alias("entity_type"),
+        F.col("event_type").alias("surface"),
+    )
+    mentions = price_m.unionByName(prod_m)
+    scored = lending_scores(
+        vendor_metrics(posts.drop("props", "event_type"), mentions)
+    )
+    return scored.select(
         "channel", "n_posts", "avg_weekly_posts", "avg_views",
         "top_post_id", "avg_price", "product_variety", "lending_score",
     )

@@ -215,6 +215,33 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS kgforge_bkt_right")
 
 
+def test_global_shuffle_sort_is_range_partitioned(spark):
+    """The deterministic corpus shuffle must execute as a DISTRIBUTED
+    range-partitioned sort (every partition sorts ~1/N of the corpus) —
+    never a single-task global sort or a window over everything."""
+    from kgforge.queries import global_shuffle, t
+
+    df = global_shuffle(t(spark, SF, "documents").select("doc_id", "lang"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    assert "Window" not in plan  # positions come later/bounded, not here
+
+
+def test_grid_range_join_is_shuffled_equi_join(spark):
+    """q69's large-large range join must meet in a shuffled SortMergeJoin
+    on the grid cell — no broadcast of either side, no nested-loop or
+    cartesian fallback (the shapes that die when both sides are
+    fact-scale)."""
+    from kgforge.queries import REGISTRY
+
+    df = REGISTRY["q69_range_join_grid"].fn(spark, SF)
+    df.collect()  # AQE finalizes the join strategy on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_packing_window_is_sharded_not_per_lang(spark):
     """q50's packing window must partition by (lang, shard) — one reducer
     per LANGUAGE (q46's oracle-twin shape) is a scale-killer when the

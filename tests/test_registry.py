@@ -20,6 +20,14 @@ SNAPSHOT_CAP = 50
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_registry_counts_match_docs():
+    """ADVICE r3: COVERAGE.md/README/BENCH-BASELINE drifted to three
+    different query counts. The documented split lives HERE, once; update
+    this test and all three docs together when adding queries."""
+    oracle = sum(1 for qd in REGISTRY.values() if qd.sql is not None)
+    assert (len(REGISTRY), oracle) == (79, 66), (len(REGISTRY), oracle)
+
+
 def test_pinned_queries_lead_the_registry():
     names = list(REGISTRY)
     assert names[: len(_PINNED)] == _PINNED

@@ -151,3 +151,28 @@ def test_decontaminate_plan_broadcasts_eval_side(spark):
     # never a SortMergeJoin shuffle of the (100 TB) exploded corpus
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- deterministic global training-order shuffle (VERDICT r3 #7) ---
+
+
+def test_global_shuffle_seed_stable_and_partition_invariant(spark):
+    """The permutation is a pure function of (seed, doc_id): identical
+    across runs, partition counts, and input orders; different seeds give
+    different permutations."""
+    from kgforge.queries import global_shuffle
+
+    rows = [(i, f"doc {i}") for i in range(300)]
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    b = spark.createDataFrame(rows[::-1], "doc_id long, text string").repartition(7)
+
+    perm_a = [r.doc_id for r in global_shuffle(a, seed=42).collect()]
+    perm_a2 = [r.doc_id for r in global_shuffle(a, seed=42).collect()]
+    perm_b = [r.doc_id for r in global_shuffle(b, seed=42).collect()]
+    assert perm_a == perm_a2 == perm_b          # seed-stable + layout-free
+    assert sorted(perm_a) == list(range(300))   # a true permutation
+    assert perm_a != list(range(300))           # and actually shuffled
+
+    perm_seed43 = [r.doc_id for r in global_shuffle(a, seed=43).collect()]
+    assert perm_seed43 != perm_a
+    assert sorted(perm_seed43) == list(range(300))

@@ -152,7 +152,8 @@ class Leg:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         self.ready = json.loads(self.proc.stdout.readline())
-        log(f"  leg local[{cores}] warm (warmup {self.ready['warmup_sec']}s)")
+        log(f"  leg local[{cores}] warm (warmup {self.ready['warmup_sec']}s, "
+            f"{self.ready.get('splits', '?')} splits)")
 
     def run(self) -> dict:
         self.proc.stdin.write("RUN\n")
@@ -462,10 +463,14 @@ def main() -> int:
     def time_left() -> float:
         return budget - (time.time() - t_start)
 
-    # stage the bench corpora once (not timed). The scaling corpus uses 512
-    # splits (~8-32 tasks per slot at the widest leg): real 100 TB jobs run
-    # many waves per slot, and more waves amortize per-vCPU speed variance
-    # that otherwise lets one slow straggler in the last wave set the wall.
+    # stage the bench corpora once (not timed). The scaling corpus is 512
+    # parquet FILES, and since round 4 the leg server forces ~1 scan split
+    # per file (maxPartitionBytes=128k — the default 128m+4m-openCost
+    # coalescing collapsed 512 files into 9-33 splits, so the wide leg ran
+    # ~2 task waves and one straggler set its wall; an interleaved A/B in
+    # the same storm measured paired 8v32 efficiency 0.51/0.48 coalesced
+    # vs 0.91/0.61 at 512 splits). Real 100 TB jobs run many waves per
+    # slot; more waves amortize per-vCPU speed variance.
     spark = new_session(CPUS)
     from kgforge.synth import synth_source_files
 

@@ -23,6 +23,16 @@ def main(argv=None) -> int:
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--task-cpus", type=int, default=2)
+    ap.add_argument(
+        "--max-partition-bytes",
+        default="131072",
+        help="Scan split size. The corpus parquet files are ~115 KB each; "
+        "the default 128m+4m-openCost coalesces 512 files into only "
+        "16-32 splits, so the wide leg ran 2 task waves and one straggler "
+        "set its wall time (found round 4). 128k yields ~1 split per file "
+        "= 32-128 waves per slot — the many-waves-per-slot shape a real "
+        "100 TB job has, which amortizes per-vCPU speed variance.",
+    )
     args = ap.parse_args(argv)
 
     from kgforge.extract import extract_mentions, with_clean
@@ -32,7 +42,11 @@ def main(argv=None) -> int:
         master=f"local[{args.cores}]",
         app_name=f"bench-leg-{args.cores}",
         shuffle_partitions=max(args.cores, 16),
-        extra_conf={"spark.task.cpus": str(args.task_cpus)},
+        extra_conf={
+            "spark.task.cpus": str(args.task_cpus),
+            "spark.sql.files.maxPartitionBytes": args.max_partition_bytes,
+            "spark.sql.files.openCostInBytes": "0",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     source = spark.read.parquet(args.corpus)
@@ -47,7 +61,9 @@ def main(argv=None) -> int:
 
     # warmup pass: python-worker start, codegen JIT, page cache — untimed
     warm = one_pass()
+    n_splits = extract_mentions(with_clean(source)).rdd.getNumPartitions()
     print(json.dumps({"ready": True, "cores": args.cores, "files": n_files,
+                      "splits": n_splits,
                       "warmup_sec": round(warm, 2)}), flush=True)
 
     for line in sys.stdin:

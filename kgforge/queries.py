@@ -1445,6 +1445,122 @@ def q53_repetition_ratio(spark, sf_dir):
 
 
 @q(
+    "q72_duplicated_window_ratio",
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLE_SQL}) AS ngram
+        FROM documents
+    ), hot AS (
+        SELECT ngram FROM sh GROUP BY ngram
+        HAVING count(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+        SELECT s.doc_id, count(*) AS n_windows,
+               sum(CASE WHEN h.ngram IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+        FROM sh s LEFT JOIN hot h USING (ngram)
+        GROUP BY s.doc_id
+    )
+    SELECT d.lang,
+           round(avg(n_dup * 1.0 / n_windows), 4) AS avg_dup_ratio,
+           sum(CASE WHEN n_dup * 2 >= n_windows THEN 1 ELSE 0 END)::bigint
+               AS n_mostly_dup
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def q72_duplicated_window_ratio(spark, sf_dir):
+    """Within-corpus duplicated-text measurement (the corpus-level view of
+    exact substring dedup, Lee et al.'s diagnostic): per doc, the fraction
+    of its distinct 3-word windows that also occur in >=2 distinct docs;
+    per-language average + count of mostly-duplicated docs. Scale shape:
+    per-doc DISTINCT shingles map-side (array_distinct before explode),
+    hot-window set via partial-agg groupBy, then one shuffled equi-join on
+    ngram — never a doc-to-doc self-join; the hot set is data-sized, so no
+    broadcast (unlike q56, whose eval side is tiny by construction)."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(textops.word_shingles(F.col("text"), 3))
+        ).alias("ngram"),
+    )
+    hot = (
+        sh.groupBy("ngram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ngram", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        sh.join(hot, "ngram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg(F.col("n_dup") / F.col("n_windows")), 4).alias(
+                "avg_dup_ratio"
+            ),
+            F.sum(
+                F.when(F.col("n_dup") * 2 >= F.col("n_windows"), 1).otherwise(0)
+            ).alias("n_mostly_dup"),
+        )
+    )
+
+
+@q(
+    "q73_quality_filter_funnel",
+    f"""
+    WITH feats AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               1.0 - len(list_distinct(string_split(text, ' ')))::double
+                     / len(string_split(text, ' ')) AS rep,
+               len(regexp_extract_all(text, '{_URL_PAT}')) AS n_urls
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END)::bigint AS n_too_short,
+           sum(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END)::bigint AS n_repetitive,
+           sum(CASE WHEN n_urls >= 1 THEN 1 ELSE 0 END)::bigint AS n_url_heavy,
+           sum(CASE WHEN n_tokens >= 10 AND rep <= 0.2 AND n_urls = 0
+                    THEN 1 ELSE 0 END)::bigint AS n_kept
+    FROM feats GROUP BY lang
+    """,
+)
+def q73_quality_filter_funnel(spark, sf_dir):
+    """C4-style quality-filter FUNNEL: the composed keep/drop decision a
+    production corpus cleaner makes (too-short OR repetitive OR URL-heavy
+    -> drop), with per-language counts for every reason plus the docs
+    surviving all gates. One pass, all-Catalyst (split/array_distinct/
+    regexp_extract_all), single agg shuffle — the full filter chain costs
+    the same as any one of its members at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    rep = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    n_urls = F.size(F.regexp_extract_all("text", F.lit(_URL_PAT), 0))
+    feats = d.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        rep.alias("rep"),
+        n_urls.alias("n_urls"),
+    )
+    keep = (
+        (F.col("n_tokens") >= 10) & (F.col("rep") <= 0.2) & (F.col("n_urls") == 0)
+    )
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_tokens") < 10, 1).otherwise(0)).alias("n_too_short"),
+        F.sum(F.when(F.col("rep") > 0.2, 1).otherwise(0)).alias("n_repetitive"),
+        F.sum(F.when(F.col("n_urls") >= 1, 1).otherwise(0)).alias("n_url_heavy"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+@q(
     "q47_pii_redaction",
     f"""
     WITH aug AS (

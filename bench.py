@@ -353,6 +353,9 @@ class PairSchedule:
         fps_lo = [round(n_files / t, 1) for t in lo_t]
         fps_hi = [round(n_files / t, 1) for t in hi_t]
         eff_raw = (n_files / med_hi) / (n_files / med_lo) / ratio
+        # ONE per-round paired-efficiency list feeds both the paired-median
+        # estimator and the per-round normalization below (rounding only at
+        # publication) — two parallel formulas would drift apart on edit
         paired = [(a / b) / ratio for a, b in zip(lo_t, hi_t)]
         eff_paired = statistics.median(paired)
         # capacity estimator: host noise is strictly one-sided (a stall can
@@ -377,7 +380,7 @@ class PairSchedule:
         # efficiency, median over rounds. Every term is published below
         # (paired_raw_per_round / covariate_eff_per_round), so the math is
         # reproducible from this artifact alone.
-        paired_raw = [round((a / b) / ratio, 3) for a, b in zip(lo_t, hi_t)]
+        paired_raw = [round(x, 3) for x in paired]
         norm_rounds = [
             round(p / c, 3) for p, c in zip(paired_raw, self.cov_eff) if c > 0
         ]

@@ -299,7 +299,20 @@ def decode_real(blob: bytes) -> dict:
     the codec that would plug in (same dispatch shape)."""
     if blob.startswith(b"P6") or blob[:8] == b"\x89PNG\r\n\x1a\n":
         is_png = blob[:1] == b"\x89"
-        img = decode_png(blob) if is_png else decode_ppm(blob)
+        if is_png:
+            import struct
+            import zlib
+
+            # skip-on-error contract: the upstream loop catches ValueError
+            # only, but a truncated chunk raises struct.error, a corrupt
+            # IDAT zlib.error, and an out-of-range palette index
+            # IndexError (code-review r4) — normalize them all
+            try:
+                img = decode_png(blob)
+            except (struct.error, zlib.error, IndexError) as e:
+                raise ValueError(f"malformed PNG: {e}") from e
+        else:
+            img = decode_ppm(blob)
         small = resize_nearest(img, 8, 8)
         return {
             "kind": "image/png" if is_png else "image/ppm",

@@ -1101,7 +1101,12 @@ def grid_range_join(
     trades explode factor against per-cell fan-in.
     """
     eps = 1e-9
-    cells = intervals.withColumn(
+    # drop empty/inverted intervals BEFORE the sequence: hi <= lo can
+    # never match (v >= lo AND v < hi is unsatisfiable), and Spark's
+    # sequence(start, stop) with start > stop silently produces a
+    # DESCENDING range — an inverted interval would explode into millions
+    # of spurious cells (code-review r4)
+    cells = intervals.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "cell",
         F.explode(
             F.sequence(
@@ -1167,7 +1172,8 @@ def q69_range_join_grid(spark, sf_dir):
     )
     SELECT r.source, r.n_s, r.rate_ppm, count(*) AS n_kept
     FROM documents d JOIN rates r USING (source)
-    WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000000 < r.rate_ppm
+    WHERE (((d.doc_id % 2147483647) * 48271) % 2147483647) % 1000000
+          < r.rate_ppm
     GROUP BY r.source, r.n_s, r.rate_ppm
     """,
 )
@@ -1178,11 +1184,16 @@ def q70_domain_mix_temperature(spark, sf_dir):
     the standard multilingual/multi-domain reweighting), target half the
     corpus, rate_s = min(1, share_s * N_target / n_s) quantized to ppm so
     the keep decision is an exact INTEGER comparison in both engines.
-    Keep iff knuth_hash(doc_id) ppm-bucket < rate_ppm: deterministic
+    Keep iff lehmer_hash(doc_id) ppm-bucket < rate_ppm: deterministic
     across engines/partitionings like q45, but with the rate table
     computed from a tiny per-source agg that is broadcast back — the
     corpus side stays one map-side filter (no shuffle of the 100 TB fact
-    table; production swaps xxhash64 for the multiplicative hash)."""
+    table). The hash is a MINSTD Lehmer step ((id mod 2^31-1) * 48271
+    mod 2^31-1): every intermediate fits int64 for ANY doc_id (the
+    earlier Knuth multiply overflowed past doc_id ~3.5e9 — wrapping in
+    Spark, erroring in DuckDB; code-review r4). Ids 2^31-1 apart share a
+    keep decision — irrelevant statistically at trillion-doc scale, and
+    production swaps xxhash64 for the Lehmer step anyway."""
     d = t(spark, sf_dir, "documents").select("doc_id", "source")
     counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
     tot = counts.agg(
@@ -1206,7 +1217,10 @@ def q70_domain_mix_temperature(spark, sf_dir):
             .alias("rate_ppm"),
         )
     )
-    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(1000000)
+    h = (
+        ((F.col("doc_id") % F.lit(2147483647)) * F.lit(48271))
+        % F.lit(2147483647)
+    ) % F.lit(1000000)
     kept = d.join(F.broadcast(rates), "source").filter(h < F.col("rate_ppm"))
     return kept.groupBy("source", "n_s", "rate_ppm").agg(
         F.count("*").alias("n_kept")
@@ -1222,9 +1236,12 @@ def q70_domain_mix_temperature(spark, sf_dir):
                (list_max(embedding)::double - list_min(embedding)::double)
                    / 255.0 AS scale,
                list_sum(list_transform(embedding, x ->
-                   round((x::double - list_min(embedding)::double) /
-                         ((list_max(embedding)::double
-                           - list_min(embedding)::double) / 255.0))
+                   CASE WHEN list_max(embedding) = list_min(embedding)
+                        THEN 0.0
+                        ELSE round((x::double - list_min(embedding)::double) /
+                             ((list_max(embedding)::double
+                               - list_min(embedding)::double) / 255.0))
+                   END
                ))::bigint AS qsum
         FROM embeddings
     )
@@ -1249,10 +1266,14 @@ def q71_embedding_quantize_int8(spark, sf_dir):
     vmin = F.array_min(emb).cast("double")
     vmax = F.array_max(emb).cast("double")
     scale = (vmax - vmin) / F.lit(255.0)
+    # constant vector -> scale 0: quantized value defined as 0 (every
+    # element equals the zero point); without the guard Spark folds NaN
+    # to 0 while DuckDB yields NULL — an engine mismatch (code-review r4)
+    qelem = lambda x: F.when(  # noqa: E731
+        vmax == vmin, F.lit(0.0)
+    ).otherwise(F.round((x.cast("double") - vmin) / scale))
     qsum = F.aggregate(
-        F.transform(emb, lambda x: F.round((x.cast("double") - vmin) / scale)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        F.transform(emb, qelem), F.lit(0.0), lambda acc, v: acc + v
     ).cast("long")
     per_vec = e.select(
         "vec_id",
@@ -3099,8 +3120,21 @@ _PINNED = [
 assert not set(_PINNED) - set(REGISTRY), sorted(set(_PINNED) - set(REGISTRY))
 
 
+def _row_verified(row) -> bool:
+    """True iff a CORRECTNESS row is a PASS (oracle green, or the weaker
+    rows-only check for entries without oracle SQL). A failed row must NOT
+    count as 'seen' — otherwise the rotation would push a just-fixed query
+    to the back and the fix would go unverified for two more rounds
+    (code-review r4)."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("err") not in (None, "no_oracle"):
+        return False
+    return row.get("hash_match") is not False and row.get("rows_match") is not False
+
+
 def _last_driver_round() -> dict[str, int]:
-    """query name -> latest round number with a CORRECTNESS_r*.json row."""
+    """query name -> latest round number with a PASSING CORRECTNESS row."""
     import glob
     import json
     import os
@@ -3119,8 +3153,9 @@ def _last_driver_round() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            for name in rows:
-                seen[name] = max(seen.get(name, 0), rnd)
+            for name, row in rows.items():
+                if _row_verified(row):
+                    seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
 

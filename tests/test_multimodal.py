@@ -124,6 +124,23 @@ def test_png_rejects_corruption_and_unsupported():
         decode_png(b"P6 not a png")
 
 
+def test_decode_real_png_skip_on_error_contract():
+    """Malformed PNGs must surface as ValueError from decode_real (the
+    skip-on-error loop catches only ValueError): a truncated chunk raises
+    struct.error, corrupt IDAT zlib.error — both must be normalized
+    (code-review r4)."""
+    from kgforge.multimodal import encode_png
+
+    full = encode_png(_test_img())
+    for bad in (
+        full[:20],                     # truncated mid-IHDR -> struct.error
+        full[:50],                     # truncated inside IDAT
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 16,  # garbage chunks
+    ):
+        with pytest.raises(ValueError):
+            decode_real(bad)
+
+
 def test_decode_real_png_matches_ppm_features():
     """The same pixels through PPM and PNG containers must yield identical
     features (the codec is lossless; only `kind` differs)."""

@@ -14,7 +14,7 @@ import glob
 import json
 import os
 
-from kgforge.queries import _PINNED, REGISTRY, _last_driver_round
+from kgforge.queries import _PINNED, REGISTRY, _last_driver_round, _row_verified
 
 SNAPSHOT_CAP = 50
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -52,8 +52,26 @@ def test_latest_round_absentees_fit_in_snapshot():
         open(os.path.join(ROOT, f"CORRECTNESS_r{rounds[-1]:02d}.json"))
     )
     prefix = set(list(REGISTRY)[:SNAPSHOT_CAP])
-    absent = [k for k in REGISTRY if k not in latest]
+    # "absent" = no PASSING row (a failed row must count as unverified so
+    # its fix gets re-checked next round — code-review r4)
+    absent = [k for k in REGISTRY if not _row_verified(latest.get(k))]
     # rotation can only fit cap-many; absentees beyond the cap would mean
     # the registry outgrew two-round coverage — fail loudly, don't drift
     assert len(absent) + len(_PINNED) <= SNAPSHOT_CAP
     assert not [k for k in absent if k not in prefix]
+
+
+def test_row_verified_classification():
+    """Pass = oracle green or rows-only; any failure shape = unverified."""
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 2, "oracle_rows": None, "err": "no_oracle"}
+    hash_fail = dict(green, hash_match=False)
+    rows_fail = dict(green, rows_match=False)
+    spark_err = dict(rows_only, err="SPARK ERROR")
+    assert _row_verified(green) and _row_verified(rows_only)
+    assert not _row_verified(hash_fail)
+    assert not _row_verified(rows_fail)
+    assert not _row_verified(spark_err)
+    assert not _row_verified(None)  # query absent from the snapshot

@@ -1466,6 +1466,70 @@ def q53_repetition_ratio(spark, sf_dir):
 
 
 @q(
+    "q74_cdc_upsert",
+    """
+    WITH updates AS (
+        SELECT o_custkey
+               + CASE WHEN o_custkey % 5 = 0 THEN 1000000 ELSE 0 END AS key,
+               sum(cast(o_totalprice AS decimal(18,2)))::double AS new_balance
+        FROM orders GROUP BY key
+    ), merged AS (
+        SELECT coalesce(u.key, c.c_custkey) AS key,
+               CASE WHEN u.key IS NOT NULL AND c.c_custkey IS NOT NULL
+                        THEN 'updated'
+                    WHEN u.key IS NOT NULL THEN 'inserted'
+                    ELSE 'unchanged' END AS status,
+               coalesce(u.new_balance, cast(c.c_acctbal AS double))
+                   AS balance
+        FROM updates u FULL OUTER JOIN customer c ON u.key = c.c_custkey
+    )
+    SELECT status, count(*) AS n_rows,
+           sum(cast(balance AS decimal(18,2)))::double AS sum_balance
+    FROM merged GROUP BY status
+    """,
+)
+def q74_cdc_upsert(spark, sf_dir):
+    """MERGE / CDC upsert semantics, Spark-native (the lakehouse pattern
+    behind Iceberg/Delta MERGE INTO, expressed as full-outer-join +
+    coalesce since no table format runtime ships in this sandbox — the
+    materialize seam in kgforge.materialize is where MERGE INTO plugs
+    in): a change set (per-customer order totals, with %5==0 keys shifted
+    to simulate NEW entities) upserted into the customer dim; rows
+    classified updated / inserted / unchanged with balance checksums.
+    Scale shape: one shuffle join co-partitioned on the merge key — at
+    warehouse scale the same plan with partition pruning on the target."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    updates = (
+        o.withColumn(
+            "key",
+            F.col("o_custkey")
+            + F.when(F.col("o_custkey") % 5 == 0, 1000000).otherwise(0),
+        )
+        .groupBy("key")
+        .agg(_dec_sum(F.col("o_totalprice")).alias("new_balance"))
+    )
+    merged = updates.join(
+        c, updates["key"] == c["c_custkey"], "full_outer"
+    ).select(
+        F.coalesce(updates["key"], c["c_custkey"]).alias("key"),
+        F.when(
+            updates["key"].isNotNull() & c["c_custkey"].isNotNull(), "updated"
+        )
+        .when(updates["key"].isNotNull(), "inserted")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(
+            updates["new_balance"], c["c_acctbal"].cast("double")
+        ).alias("balance"),
+    )
+    return merged.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        _dec_sum(F.col("balance")).alias("sum_balance"),
+    )
+
+
+@q(
     "q72_duplicated_window_ratio",
     f"""
     WITH sh AS (

@@ -1466,6 +1466,64 @@ def q53_repetition_ratio(spark, sf_dir):
 
 
 @q(
+    "q75_countmin_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), exact AS (
+        SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+    ), cm AS (
+        SELECT d, substr(md5(d || ':' || tok), 1, 2) AS bucket,
+               count(*) AS bucket_n
+        FROM toks, (SELECT unnest([0, 1, 2]) AS d)
+        GROUP BY d, bucket
+    ), topk AS (
+        SELECT tok, exact_n FROM exact
+        ORDER BY exact_n DESC, tok LIMIT 10
+    )
+    SELECT t.tok, t.exact_n,
+           min(c.bucket_n)::bigint AS est_n,
+           (min(c.bucket_n) - t.exact_n)::bigint AS overcount
+    FROM topk t JOIN cm c
+      ON c.bucket = substr(md5(c.d || ':' || t.tok), 1, 2)
+    GROUP BY t.tok, t.exact_n
+    """,
+)
+def q75_countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters — the third mergeable sketch next to
+    q58 (quantiles) and q59 (distinct): token frequencies collapse into a
+    depth=3 x width=256 counter grid (bucket = 2-hex-char md5 prefix, so
+    the whole construction is engine-portable and HASH-verified, unlike
+    typical binary sketch blobs), estimate = min over depths of the
+    token's bucket count. At 100 TB the grid is 768 partially-aggregated
+    counters — mergeable map-side state where an exact token count would
+    shuffle the full vocabulary; the top-10 exact counts ride along so the
+    result exposes the one-sided overcount (est >= exact always, bounded
+    by pytest)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    depths = spark.range(3).select(F.col("id").cast("int").alias("d"))
+    bucket_of = lambda dcol, tokcol: F.substring(  # noqa: E731
+        F.md5(F.concat(dcol.cast("string"), F.lit(":"), tokcol)), 1, 2
+    )
+    cm = (
+        toks.crossJoin(F.broadcast(depths))
+        .groupBy("d", bucket_of(F.col("d"), F.col("tok")).alias("bucket"))
+        .agg(F.count("*").alias("bucket_n"))
+    )
+    topk = exact.orderBy(F.col("exact_n").desc(), "tok").limit(10)
+    probed = topk.join(
+        F.broadcast(cm),
+        F.col("bucket") == bucket_of(F.col("d"), F.col("tok")),
+    )
+    return probed.groupBy("tok", "exact_n").agg(
+        F.min("bucket_n").alias("est_n"),
+        (F.min("bucket_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+@q(
     "q74_cdc_upsert",
     """
     WITH updates AS (

@@ -176,3 +176,19 @@ def test_global_shuffle_seed_stable_and_partition_invariant(spark):
     perm_seed43 = [r.doc_id for r in global_shuffle(a, seed=43).collect()]
     assert perm_seed43 != perm_a
     assert sorted(perm_seed43) == list(range(300))
+
+
+def test_countmin_estimate_is_one_sided_upper_bound(spark):
+    """CM guarantee: est_n >= exact_n for EVERY queried token (collisions
+    only ever overcount), with equality when a token's bucket is clean."""
+    from kgforge.queries import REGISTRY
+
+    rows = {
+        r.tok: r
+        for r in REGISTRY["q75_countmin_heavy_hitters"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert len(rows) == 10
+    assert all(r.overcount >= 0 for r in rows.values())
+    assert all(r.est_n >= r.exact_n for r in rows.values())

@@ -37,6 +37,18 @@ def main(argv: list[str] | None = None) -> int:
         "oversubscription that halves per-worker throughput at saturation. "
         "Real clusters provision pandas-UDF stages the same way.",
     )
+    ap.add_argument(
+        "--max-partition-bytes",
+        default="131072",
+        help="Scan split size for the tiny-file bench corpus. The default "
+        "128m+4m-openCost coalescing collapses the 64-file/30 MB corpus "
+        "into ~8-16 splits — as little as ONE task wave at local[32], so "
+        "one co-tenant straggler sets the extraction wall clock (the "
+        "round-4 scaling-leg finding). 128k yields ~4 splits per file = "
+        "many waves, which amortizes stragglers in storm windows; a calm-"
+        "window A/B measured parity (11.4k vs 11.6k triples/s), so the "
+        "variance reduction is free.",
+    )
     args = ap.parse_args(argv)
 
     from kgforge.pipeline import KGPaths, run_extraction, run_graph
@@ -46,7 +58,11 @@ def main(argv: list[str] | None = None) -> int:
         master=f"local[{args.cores}]",
         app_name=f"kgforge-bench-{args.cores}",
         shuffle_partitions=max(args.cores, 16),
-        extra_conf={"spark.task.cpus": str(args.task_cpus)},
+        extra_conf={
+            "spark.task.cpus": str(args.task_cpus),
+            "spark.sql.files.maxPartitionBytes": args.max_partition_bytes,
+            "spark.sql.files.openCostInBytes": "0",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -176,7 +176,16 @@ def decode_png(blob: bytes) -> np.ndarray:
     """PNG -> (h, w, 3) uint8. Real decoder: chunk walk, IHDR validation,
     multi-IDAT zlib inflate, all five scanline filters, gray/RGB/palette/
     alpha color types (alpha dropped, gray replicated, palette looked up).
-    8-bit depth, non-interlaced (interlace needs Adam7 — rejected loudly)."""
+    8-bit depth, non-interlaced (interlace needs Adam7 — rejected loudly).
+
+    Performance envelope (ADVICE r4): filters 0/2 are fully numpy-
+    vectorized; Sub (1) is a per-channel cumsum mod 256 (vectorized);
+    Average (3) and Paeth (4) carry a true sequential left-dependency
+    through a nonlinear predictor, so they run a per-byte Python loop —
+    O(h*w) interpreter time. Fine for thumbnail/test-sized images (the
+    bench corpus is 10-32 px); photo-sized PNGs that are Average/Paeth-
+    heavy will be slow — route those through a real codec (libjpeg-turbo
+    / libpng) at the same ``decode_real`` dispatch seam in production."""
     import struct
     import zlib
 
@@ -227,18 +236,18 @@ def decode_png(blob: bytes) -> np.ndarray:
             cur = row
         elif ftype == 2:  # Up — no left dependency, fully vectorized
             cur = (row + prev) % 256
-        elif ftype in (1, 3, 4):  # left-dependent: sequential per pixel
+        elif ftype == 1:  # Sub: recon[i] = row[i] + recon[i-bpp] — exactly
+            # a per-channel cumulative sum mod 256, vectorized (ADVICE r4)
+            cur = (
+                np.cumsum(row.reshape(-1, bpp).astype(np.int64), axis=0) % 256
+            ).reshape(-1).astype(np.int32)
+        elif ftype in (3, 4):  # nonlinear left-dependency: sequential
             cur = np.zeros(stride, dtype=np.int32)
             for i in range(stride):
                 a = cur[i - bpp] if i >= bpp else 0
                 b = int(prev[i])
                 c = int(prev[i - bpp]) if i >= bpp else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) // 2
-                else:
-                    pred = _paeth(a, b, c)
+                pred = (a + b) // 2 if ftype == 3 else _paeth(a, b, c)
                 cur[i] = (row[i] + pred) % 256
         else:
             raise ValueError(f"bad PNG filter byte {ftype}")

@@ -38,6 +38,22 @@ def main(argv: list[str] | None = None) -> int:
         "Real clusters provision pandas-UDF stages the same way.",
     )
     ap.add_argument(
+        "--probe-corpus",
+        default=None,
+        help="Optional small fixed corpus for the STALL PROBE (VERDICT r4 "
+        "#1b): the extraction stage runs on it twice in this same JVM "
+        "immediately before the timed KG run — first pass untimed (python-"
+        "worker start + codegen JIT + page cache), second pass timed and "
+        "published as stall_probe_sec. Unlike the engine-free memory-scan "
+        "weather probe (which stayed green through the hypervisor stalls "
+        "that crushed r4's KG legs — BENCH/BASELINE.md S7 note), this is a "
+        "real warm Spark job, so it is sensitive to the JVM/python-worker "
+        "stall mechanism and lets a KG wall-clock collapse be attributed "
+        "inside the artifact. Side effect: the main run below starts WARM "
+        "(protocol v5; r1-r4 ran it cold-JVM), so v5 rates read higher and "
+        "less noisy than earlier rounds' — compare within-protocol.",
+    )
+    ap.add_argument(
         "--max-partition-bytes",
         default="131072",
         help="Scan split size for the tiny-file bench corpus. The default "
@@ -87,6 +103,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    probe_sec = None
+    probe_fps = None
+    if args.probe_corpus:
+        from kgforge.extract import extract_mentions, with_clean
+
+        probe_src = spark.read.parquet(args.probe_corpus)
+        n_probe = probe_src.count()
+        for timed in (False, True):
+            t0 = time.time()
+            extract_mentions(with_clean(probe_src)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            if timed:
+                probe_sec = round(time.time() - t0, 3)
+                probe_fps = round(n_probe / probe_sec, 1)
+
     shutil.rmtree(args.out, ignore_errors=True)
     paths = KGPaths(
         mentions=f"{args.out}/mentions",
@@ -116,6 +148,8 @@ def main(argv: list[str] | None = None) -> int:
                 "total_sec": round(total, 2),
                 "triples_per_sec": round(n_triples / total, 1),
                 "files_per_sec_extract": round(n_files / t_extract, 1),
+                "stall_probe_sec": probe_sec,
+                "stall_probe_files_per_sec": probe_fps,
             }
         )
     )

@@ -36,6 +36,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--parts", type=int, default=64, help="partition count for materialize")
     ap.add_argument("--master", default=None, help="override spark master (default local[$SPARK_GRAFT_CPUS])")
     ap.add_argument("--no-resume", action="store_true", help="ignore existing lineage")
+    ap.add_argument(
+        "--upsert", action="store_true",
+        help="CDC mode: MERGE this run's triples into the existing triple "
+        "table (full-outer merge on (subj,pred,obj), partition-pruned, "
+        "idempotent) instead of overwriting it",
+    )
+    ap.add_argument(
+        "--triples-table", default=None,
+        help="shared triple-table path for incremental batches (mentions/ "
+        "lineage stay under --output); defaults to <output>/triples",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(master=args.master, app_name="kgforge-run-kg")
@@ -49,7 +60,9 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     triples = run_kg(
-        spark, source, args.output, n_parts=args.parts, resume=not args.no_resume
+        spark, source, args.output, n_parts=args.parts,
+        resume=not args.no_resume, upsert=args.upsert,
+        triples_path=args.triples_table,
     )
     n = triples.count()
     dt = time.time() - t0

@@ -54,6 +54,7 @@ def write_partitioned(
     part_col: str = "part_id",
     coalesce_parts: bool = True,
     table_format: str | None = None,
+    sort_cols: list[str] | None = None,
 ) -> None:
     """Dynamic-partition-overwrite write: only touched partitions replaced.
 
@@ -67,6 +68,11 @@ def write_partitioned(
     """
     if coalesce_parts:
         df = df.repartition(F.col(part_col))
+    if sort_cols:
+        # AFTER the repartition (which would destroy any earlier order):
+        # layout-deterministic files, so identical logical tables are
+        # byte-stable across re-runs and re-merges
+        df = df.sortWithinPartitions(*sort_cols)
     fmt = table_format if table_format is not None else TABLE_FORMAT
     if fmt == "iceberg":
         # `path` is a catalog table identifier in Iceberg mode (needs the
@@ -87,4 +93,81 @@ def write_partitioned(
         .mode("overwrite")
         .partitionBy(part_col)
         .parquet(path)
+    )
+
+
+def upsert_partitioned(
+    changes: DataFrame,
+    path: str,
+    key_cols: list[str],
+    part_col: str = "part_id",
+    n_parts: int = DEFAULT_PARTS,
+    resolve: dict | None = None,
+    table_format: str | None = None,
+) -> None:
+    """MERGE INTO at the materialize seam (VERDICT r4 #7) — CDC-style
+    incremental upsert with per-partition pruning, parquet-emulated.
+
+    Semantics (the q74 full-outer-merge path, promoted from demo query to
+    engine capability): rows in ``changes`` whose ``key_cols`` match an
+    existing target row REPLACE it (column-wise change-wins coalesce, or a
+    custom ``resolve[col](change_col, target_col)`` expression — the
+    triples path passes ``F.least`` for provenance so merge stays
+    order-idempotent); unmatched change rows INSERT; target rows in
+    untouched partitions are NEVER read or rewritten.
+
+    Scale shape: ``part_col`` is a pure function of ``key_cols``
+    (``with_part_id``), so a change row and its target row always live in
+    the same partition — the merge join never crosses partitions. Only the
+    partitions the change set touches are scanned (partition-pruned read:
+    the touched-id list is a bounded <= n_parts collect) and rewritten
+    (dynamic overwrite). One co-partitioned full-outer shuffle join total,
+    exactly Iceberg's ``MERGE INTO`` + hidden-partition pruning; on a real
+    cluster the iceberg branch of this seam routes through that statement.
+
+    Idempotent: upserting the same change set twice is a no-op second time
+    (pipeline test pins fingerprint identity); output files are written
+    sorted by ``key_cols`` so re-merges are layout-stable too.
+    """
+    spark = changes.sparkSession
+    if part_col in changes.columns:
+        changes = changes.drop(part_col)
+    value_cols = [c for c in changes.columns if c not in key_cols]
+    changes = with_part_id(changes, key_cols, n_parts)
+    out_cols = key_cols + value_cols + [part_col]
+
+    try:
+        target = spark.read.parquet(path).select(*out_cols)
+    except Exception:
+        target = None  # first write: plain partitioned create
+    if target is None:
+        write_partitioned(
+            changes.select(*out_cols), path, part_col,
+            table_format=table_format, sort_cols=key_cols,
+        )
+        return
+
+    touched = [
+        r[0] for r in changes.select(part_col).distinct().collect()
+    ]  # bounded by n_parts — a driver-side list, not data
+    pruned = target.filter(F.col(part_col).isin(touched))
+    ch = changes.select(
+        *key_cols, part_col,
+        *[F.col(v).alias(f"__c_{v}") for v in value_cols],
+    )
+    resolve = resolve or {}
+    merged = pruned.join(ch, key_cols + [part_col], "full_outer").select(
+        *key_cols,
+        *[
+            (
+                resolve[v](F.col(f"__c_{v}"), F.col(v))
+                if v in resolve
+                else F.coalesce(F.col(f"__c_{v}"), F.col(v))
+            ).alias(v)
+            for v in value_cols
+        ],
+        part_col,
+    )
+    write_partitioned(
+        merged, path, part_col, table_format=table_format, sort_cols=key_cols
     )

@@ -14,11 +14,14 @@ stdlib, so they are decoded FOR REAL:
 - **PNG** (round 4, VERDICT r3 #3) via zlib: chunk walk + CRC check,
   IDAT inflate, all five scanline filters, gray/RGB/palette/alpha;
 - **WAV (PCM16)** audio via the stdlib ``wave`` module -> int16 samples,
-  with true evenly-spaced frame sampling and RMS/peak features.
+  with true evenly-spaced frame sampling and RMS/peak features;
+- **JPEG (baseline SOF0)** — real marker parse, huffman entropy decode,
+  dequantize + IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart intervals.
 
-``decode_real`` dispatches on magic bytes; unsupported containers (JPEG,
-MP4...) raise ValueError naming the codec that would plug in — the
-dispatch, batch shape, schema, and partition parallelism are identical.
+``decode_real`` dispatches on magic bytes; unsupported containers (MP4,
+progressive JPEG...) raise ValueError naming the codec that would plug
+in — the dispatch, batch shape, schema, and partition parallelism are
+identical.
 """
 
 from __future__ import annotations
@@ -101,8 +104,8 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 # The reference's image pipeline OCRs real photo formats
 # (data_cleaner.py:102-141); PNG is the one photo container fully
 # decodable without a codec library: chunk parse -> zlib-inflate IDAT ->
-# per-scanline unfilter (None/Sub/Up/Average/Paeth) -> RGB. JPEG remains
-# a dispatch-error branch (it genuinely needs libjpeg).
+# per-scanline unfilter (None/Sub/Up/Average/Paeth) -> RGB. JPEG has its
+# own baseline codec further down (r5); progressive variants still raise.
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -299,6 +302,509 @@ def frame_sample(samples: np.ndarray, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# JPEG — baseline (SOF0) encode/decode, stdlib+numpy (VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+# The last real-format gap vs the reference's photo OCR pipeline
+# (data_cleaner.py:102-141; its media corpus is JPEG-dominated). Baseline
+# sequential DCT only: SOI/APPn/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI markers,
+# huffman entropy decode with byte unstuffing, dequantize -> de-zigzag ->
+# float IDCT -> level shift, sampling factors 1-2 per axis (covers 4:4:4,
+# 4:2:2, 4:2:0), grayscale and YCbCr. Progressive (SOF2) and arithmetic
+# coding are rejected loudly by marker name. The encoder exists for test
+# fixtures: it emits canonical single-length huffman tables built from the
+# actual symbol set (any conformant decoder accepts them — simpler and
+# less error-prone than transcribing the Annex K defaults) and optional
+# 2x2-subsampled chroma, so the decoder's 4:2:0 path has real coverage.
+# Like the PNG path: per-block Python loops — fine for thumbnails/tests,
+# route photo-scale volumes through libjpeg-turbo at the decode_real seam.
+
+_ZIGZAG: list[tuple[int, int]] = [
+    rc
+    for s in range(15)
+    for rc in (
+        lambda d, even: d[::-1] if even else d
+    )(
+        [(r, s - r) for r in range(max(0, s - 7), min(8, s + 1))], s % 2 == 0
+    )
+]
+
+
+def _dct_mat() -> np.ndarray:
+    import math
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+_DCT = _dct_mat()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: (size category, appended bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    return np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ],
+        axis=-1,
+    )
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    return np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    ).clip(0, 255).round().astype(np.uint8)
+
+
+def _blocks_of(plane: np.ndarray) -> list[np.ndarray]:
+    """8x8 blocks in raster order; plane dims are multiples of 8."""
+    h, w = plane.shape
+    return [
+        plane[by : by + 8, bx : bx + 8]
+        for by in range(0, h, 8)
+        for bx in range(0, w, 8)
+    ]
+
+
+def _quantize_block(block: np.ndarray, q: np.ndarray) -> list[int]:
+    coef = _DCT @ (block.astype(np.float64) - 128.0) @ _DCT.T
+    qc = np.round(coef / q).astype(np.int64)
+    return [int(qc[r, c]) for r, c in _ZIGZAG]
+
+
+def _block_symbols(zz: list[int], dc_pred: int) -> tuple[list, int]:
+    """[(dc_or_ac, symbol, extra_value, extra_size), ...] for one block."""
+    syms = []
+    size, bits = _mag_bits(zz[0] - dc_pred)
+    syms.append(("dc", size, bits, size))
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            syms.append(("ac", 0xF0, 0, 0))  # ZRL
+            run -= 16
+        size, bits = _mag_bits(zz[i])
+        syms.append(("ac", (run << 4) | size, bits, size))
+        run = 0
+    if last_nz < 63:
+        syms.append(("ac", 0x00, 0, 0))  # EOB
+    return syms, zz[0]
+
+
+def _canonical_table(symbols: list[int]) -> tuple[list[int], list[int], dict]:
+    """All-same-length canonical huffman code over the symbol set: n codes
+    of length L (2^L > n keeps the all-ones code unused, as JPEG requires).
+    Returns (bits[1..16], ordered symbols, {symbol: (code, L)})."""
+    ordered = sorted(set(symbols))
+    n = len(ordered)
+    length = max(1, n.bit_length()) if n else 1
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 17
+    bits[length] = n
+    return bits, ordered, {s: (i, length) for i, s in enumerate(ordered)}
+
+
+def encode_jpeg(
+    img: np.ndarray, quant: int = 8, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> baseline JFIF bytes.
+
+    ``quant``: uniform quantization step (flat table — keeps the roundtrip
+    error bound simple: test-friendly, still real lossy compression).
+    ``subsample=True`` emits 4:2:0 (2x2-mean chroma, 16x16 MCUs) so the
+    decoder's multi-block-MCU upsampling path is exercised.
+    ``restart_interval=R`` emits DRI + an RSTn marker every R MCUs (DC
+    predictors reset, bitstream byte-aligned) — the decoder's restart
+    path, which real camera JPEGs use for error resilience."""
+    import struct
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    q = np.full((8, 8), float(quant))
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    elif subsample:
+        ycc = _rgb_to_ycbcr(img)
+        # pad to 16 so chroma halving stays block-aligned
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        ycc = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+        cb = ycc[:, :, 1].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = ycc[:, :, 2].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes = [ycc[:, :, 0], cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+        samp = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x, mcus_y = -(-w // mcu_w), -(-h // mcu_h)
+
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        tw, th = mcus_x * 8 * sh, mcus_y * 8 * sv
+        padded.append(
+            np.pad(
+                p[: th, : tw],
+                ((0, max(0, th - p.shape[0])), (0, max(0, tw - p.shape[1]))),
+                mode="edge",
+            )
+        )
+
+    # MCU-ordered quantized blocks, interleaved per SOF component order
+    mcu_blocks: list[list[list[int]]] = []  # [mcu][comp-block] -> zigzag
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            blocks = []
+            for p, (sh, sv) in zip(padded, samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blocks.append(
+                            _quantize_block(p[y0 : y0 + 8, x0 : x0 + 8], q)
+                        )
+            mcu_blocks.append(blocks)
+
+    # pass 1: symbol statistics -> canonical tables
+    comp_of_block = []
+    for ci, (sh, sv) in enumerate(samp):
+        comp_of_block.extend([ci] * (sh * sv))
+    dc_syms: list[int] = []
+    ac_syms: list[int] = []
+    preds = [0] * len(planes)
+    all_syms: list[list] = []
+    for mi, blocks in enumerate(mcu_blocks):
+        if restart_interval and mi and mi % restart_interval == 0:
+            preds = [0] * len(planes)  # DC prediction resets at restarts
+        row = []
+        for bi, zz in enumerate(blocks):
+            ci = comp_of_block[bi]
+            syms, preds[ci] = _block_symbols(zz, preds[ci])
+            row.append(syms)
+            dc_syms.extend(s[1] for s in syms if s[0] == "dc")
+            ac_syms.extend(s[1] for s in syms if s[0] == "ac")
+        all_syms.append(row)
+    dc_bits, dc_vals, dc_code = _canonical_table(dc_syms)
+    ac_bits, ac_vals, ac_code = _canonical_table(ac_syms)
+
+    # pass 2: entropy-coded data (one byte-aligned segment per restart
+    # interval, RSTn markers cycling D0-D7 between them)
+    chunks: list[bytes] = []
+    bw = _BitWriter()
+    for mi, row in enumerate(all_syms):
+        if restart_interval and mi and mi % restart_interval == 0:
+            chunks.append(bw.flush())
+            chunks.append(bytes([0xFF, 0xD0 + ((mi // restart_interval) - 1) % 8]))
+            bw = _BitWriter()
+        for syms in row:
+            for kind, sym, bits, size in syms:
+                code, length = (dc_code if kind == "dc" else ac_code)[sym]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+    chunks.append(bw.flush())
+    data = b"".join(chunks)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
+    sof_comps = b"".join(
+        struct.pack("BBB", ci + 1, (sh << 4) | sv, 0)
+        for ci, (sh, sv) in enumerate(samp)
+    )
+    sos_comps = b"".join(
+        struct.pack("BB", ci + 1, 0x00) for ci in range(len(planes))
+    )
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, b"\x00" + zz_q)  # DQT table 0, 8-bit
+        + seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, h, w, len(planes)) + sof_comps,
+        )  # SOF0
+        + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits[1:]) + bytes(dc_vals))
+        + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits[1:]) + bytes(ac_vals))
+        + (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+        + seg(0xFFDA, bytes([len(planes)]) + sos_comps + b"\x00\x3f\x00")
+        + data
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at any marker;
+    RSTn markers are consumed by ``restart()``."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError("JPEG entropy data ran into a restart marker")
+            else:
+                raise ValueError("JPEG entropy data truncated at marker")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if not (
+            self.buf[self.pos] == 0xFF
+            and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("JPEG restart marker expected")
+        self.pos += 2
+
+
+def _huff_decoder(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """DHT (bits[1..16], values) -> {(length, code): symbol} canonical map."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_huff(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("JPEG huffman code not in table")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h, w, 3) uint8 (grayscale replicated to RGB).
+
+    Sequential DCT (SOF0) only; progressive/extended/arithmetic variants
+    raise with the marker name. Sampling factors 1-2 per axis; restart
+    intervals honored (DC predictors reset, reader re-aligned)."""
+    import struct
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        payload = blob[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise ValueError("16-bit DQT not supported (baseline)")
+                tab = np.zeros((8, 8))
+                for i, (r, c) in enumerate(_ZIGZAG):
+                    tab[r, c] = payload[p + i]
+                qt[tq] = tab
+                p += 64
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = [0] + list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = payload[p + 17 : p + 17 + n]
+                huff[(tc, th)] = _huff_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/extended-seq huffman)
+            prec, ih, iw, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            sof = (ih, iw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
+                "progressive/arithmetic need libjpeg)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = payload[0]
+            scan_tables = {}
+            for i in range(ns):
+                cs, tdta = payload[1 + 2 * i : 3 + 2 * i]
+                scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+            return _decode_scan(
+                blob, pos, sof, qt, huff, scan_tables, restart_interval
+            )
+        # APPn / COM / others: skipped
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(blob, pos, sof, qt, huff, scan_tables, restart_interval):
+    ih, iw, comps = sof
+    for c in comps:
+        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+            raise ValueError("JPEG sampling factors beyond 2 not supported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-iw // (8 * hmax))
+    mcus_y = -(-ih // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"])) for c in comps
+    ]
+    br = _BitReader(blob, pos)
+    preds = [0] * len(comps)
+    idct = _DCT.T
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            br.restart()
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, c in enumerate(comps):
+            dc_tab = huff.get((0, scan_tables[c["id"]][0]))
+            ac_tab = huff.get((1, scan_tables[c["id"]][1]))
+            q = qt[c["tq"]]
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("JPEG scan references missing huffman table")
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    size = _read_huff(br, dc_tab)
+                    diff = _extend(br.bits(size), size) if size else 0
+                    preds[ci] += diff
+                    zz = np.zeros(64)
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _read_huff(br, ac_tab)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        size = rs & 0x0F
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(br.bits(size), size)
+                        k += 1
+                    coef = np.zeros((8, 8))
+                    for i, (r, cc) in enumerate(_ZIGZAG):
+                        coef[r, cc] = zz[i]
+                    block = idct @ (coef * q) @ _DCT + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    full = []
+    for p, c in zip(planes, comps):
+        up = np.repeat(
+            np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(up[:ih, :iw])
+    if len(full) == 1:
+        g = full[0].clip(0, 255).round().astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if len(full) != 3:
+        raise ValueError(f"JPEG with {len(full)} components not supported")
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + Spark-side feature extraction
 # ---------------------------------------------------------------------------
 
@@ -356,7 +862,26 @@ def decode_real(blob: bytes) -> dict:
             "features": [round(rms, 4)] + [float(x) for x in picked[:4]],
         }
     if blob[:3] == b"\xff\xd8\xff":
-        raise ValueError("JPEG needs libjpeg (PIL.Image.open plugs in here)")
+        import struct
+
+        # same skip-on-error normalization as PNG: truncated segments raise
+        # struct.error / IndexError from the parser — one bad blob must
+        # skip, not kill the task
+        try:
+            img = decode_jpeg(blob)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"malformed JPEG: {e}") from e
+        small = resize_nearest(img, 8, 8)
+        return {
+            "kind": "image/jpeg",
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "n_frames": 1,
+            "features": [round(float(x), 4) for x in (
+                img.mean(axis=(0, 1)).tolist()
+                + small.astype(np.float64).std(axis=(0, 1)).tolist()
+            )],
+        }
     raise ValueError("unsupported media container")
 
 

@@ -154,6 +154,7 @@ def run_graph(
     n_parts: int = materialize.DEFAULT_PARTS,
     link_threshold: float = link.DEFAULT_THRESHOLD,
     resume: bool = True,
+    upsert: bool = False,
 ) -> DataFrame:
     """Phase 2: mentions -> linked/canonicalized deduplicated triple table.
 
@@ -201,7 +202,18 @@ def run_graph(
     triples = mentions_to_triples(canonical, surface_col="canon_surface")
     triples = materialize.with_part_id(triples, ["subj", "pred", "obj"], n_parts)
 
-    materialize.write_partitioned(triples, paths.triples)
+    if upsert:
+        # CDC mode (VERDICT r4 #7): MERGE this batch's triples into an
+        # existing triple table instead of overwriting it — incremental
+        # ingestion of a new file batch. repo merges via least() so the
+        # min-provenance invariant survives any batch arrival order and
+        # re-merging the same batch is a no-op.
+        materialize.upsert_partitioned(
+            triples, paths.triples, ["subj", "pred", "obj"],
+            n_parts=n_parts, resolve={"repo": F.least},
+        )
+    else:
+        materialize.write_partitioned(triples, paths.triples)
     written = spark.read.parquet(paths.triples)
     rows = lineage.lineage_rows(written, STAGE_TRIPLES, TRIPLE_CONTENT_COLS)
     marker = rows.sparkSession.createDataFrame(
@@ -218,12 +230,20 @@ def run_kg(
     out_dir: str,
     n_parts: int = materialize.DEFAULT_PARTS,
     resume: bool = True,
+    upsert: bool = False,
+    triples_path: str | None = None,
 ) -> DataFrame:
-    """Full pipeline; returns the materialized triple table."""
+    """Full pipeline; returns the materialized triple table.
+
+    CDC mode: ``upsert=True`` MERGEs this run's triples into the existing
+    table instead of overwriting; ``triples_path`` points batches at a
+    SHARED triple table while each batch keeps its own mentions/lineage
+    under its ``out_dir`` (the incremental-ingestion layout: per-batch
+    work dirs, one long-lived graph table)."""
     paths = KGPaths(
         mentions=f"{out_dir}/mentions",
-        triples=f"{out_dir}/triples",
+        triples=triples_path or f"{out_dir}/triples",
         lineage=f"{out_dir}/lineage",
     )
     run_extraction(spark, source_files, paths, n_parts, resume)
-    return run_graph(spark, paths, n_parts)
+    return run_graph(spark, paths, n_parts, resume=resume, upsert=upsert)

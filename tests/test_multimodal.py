@@ -173,6 +173,89 @@ def test_spark_png_decode_executor_local_identity(spark):
         assert out[i].features == local["features"]
 
 
+# --- JPEG (VERDICT r4 #3: baseline SOF0 codec, stdlib+numpy) ---
+
+
+def _smooth_img(h=24, w=20):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.clip(
+        np.stack([xx * 3 + 20, yy * 4 + 10, xx + yy + 50], axis=-1), 0, 255
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("restart", [0, 3])
+def test_jpeg_roundtrip_within_quant_error(subsample, restart):
+    """encode -> decode over 4:4:4 and 4:2:0 with and without restart
+    intervals: lossy, but bounded by the flat quant table (and 4:2:0's
+    chroma averaging) on a smooth image. Dims straddle MCU boundaries
+    (24x20 is not a multiple of 16) so edge padding/cropping is covered."""
+    from kgforge.multimodal import decode_jpeg, encode_jpeg
+
+    img = _smooth_img()
+    out = decode_jpeg(
+        encode_jpeg(img, quant=8, subsample=subsample, restart_interval=restart)
+    )
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 10
+
+
+def test_jpeg_grayscale_and_determinism():
+    from kgforge.multimodal import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:17, 0:13]  # non-multiple-of-8 dims
+    g = np.clip(yy * 5 + xx * 2, 0, 255).astype(np.uint8)
+    blob = encode_jpeg(g, quant=8)
+    out = decode_jpeg(blob)
+    assert out.shape == (17, 13, 3)
+    # gray replicates to 3 identical channels
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 6
+    assert encode_jpeg(g, quant=8) == blob  # bit-deterministic encode
+
+
+def test_jpeg_rejects_progressive_and_malformed():
+    import struct
+
+    from kgforge.multimodal import decode_jpeg, encode_jpeg
+
+    blob = bytearray(encode_jpeg(_smooth_img(), quant=8))
+    # rewrite SOF0 (FFC0) to SOF2 (FFC2): progressive must name the marker
+    i = bytes(blob).index(b"\xff\xc0")
+    prog = blob[:i] + b"\xff\xc2" + blob[i + 2:]
+    with pytest.raises(ValueError, match="progressive|0xFFC2"):
+        decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0fakejpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    # decode_real normalizes truncation (struct/IndexError) to ValueError
+    with pytest.raises(ValueError):
+        decode_real(bytes(blob[: len(blob) // 2]))
+    assert struct is not None
+
+
+def test_spark_jpeg_decode_executor_local_identity(spark):
+    """JPEG decode on executors (mapInPandas) == local decode, mixing
+    4:4:4 and 4:2:0 payloads across rows."""
+    from kgforge.multimodal import encode_jpeg
+
+    rows = [
+        (i, bytearray(encode_jpeg(
+            np.asarray(_test_img(10 + i % 4, 8 + i % 3, seed=i)),
+            quant=8, subsample=bool(i % 2),
+        )))
+        for i in range(10)
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in extract_media_features(media).collect()}
+    assert len(out) == 10
+    for i in range(10):
+        local = decode_real(bytes(rows[i][1]))
+        assert out[i].kind == "image/jpeg"
+        assert out[i].features == local["features"]
+
+
 def test_spark_media_features_end_to_end(spark):
     rows = [(0, bytearray(encode_ppm(16, 12, seed=0))),
             (1, bytearray(encode_wav(500, seed=1))),

@@ -128,6 +128,112 @@ def test_graph_phase_short_circuits_when_input_unchanged(spark, outdir):
     assert triples.count() > 0
 
 
+def _parquet_content_hashes(path: str) -> dict[str, list[str]]:
+    """{partition_dir: sorted sha256 of each parquet file's bytes} — file
+    NAMES carry a per-job UUID, so identity is asserted on contents."""
+    import hashlib
+    import os
+
+    out: dict[str, list[str]] = {}
+    for root, _dirs, files in os.walk(path):
+        rel = os.path.relpath(root, path)
+        hs = [
+            hashlib.sha256(open(os.path.join(root, f), "rb").read()).hexdigest()
+            for f in files
+            if f.endswith(".parquet")
+        ]
+        if hs:
+            out[rel] = sorted(hs)
+    return out
+
+
+def test_upsert_partitioned_merge_semantics(spark, tmp_path):
+    """MERGE at the materialize seam (VERDICT r4 #7): matched keys update
+    (resolver applied), unmatched insert, everything else survives."""
+    from kgforge.materialize import upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("a", "p", "x", "r9"), ("b", "p", "y", "r5"), ("c", "p", "z", "r7")],
+        "subj string, pred string, obj string, repo string",
+    )
+    upsert_partitioned(base, path, ["subj", "pred", "obj"], n_parts=4)
+    changes = spark.createDataFrame(
+        [("b", "p", "y", "r2"), ("d", "p", "w", "r1")],
+        "subj string, pred string, obj string, repo string",
+    )
+    upsert_partitioned(
+        changes, path, ["subj", "pred", "obj"], n_parts=4,
+        resolve={"repo": F.least},
+    )
+    rows = {
+        (r.subj, r.obj): r.repo
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {("a", "x"): "r9", ("b", "y"): "r2",
+                    ("c", "z"): "r7", ("d", "w"): "r1"}
+
+
+def test_upsert_same_changes_twice_is_byte_identical(spark, tmp_path):
+    """Idempotency gate (VERDICT r4 #7 'done' criterion): re-merging the
+    SAME change set leaves the table byte-identical — parquet contents
+    compared file-by-file (sorted writes make layout deterministic)."""
+    from kgforge.materialize import upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = synth_source_files(spark, 60).select(
+        F.col("repo").alias("subj"), F.lit("p").alias("pred"),
+        F.col("path").alias("obj"), F.col("commit").alias("repo"),
+    )
+    upsert_partitioned(base, path, ["subj", "pred", "obj"], n_parts=4)
+    changes = base.limit(20).withColumn("repo", F.lit("zz"))
+    upsert_partitioned(
+        changes, path, ["subj", "pred", "obj"], n_parts=4,
+        resolve={"repo": F.least},
+    )
+    first = _parquet_content_hashes(path)
+    n_first = spark.read.parquet(path).count()
+    upsert_partitioned(
+        changes, path, ["subj", "pred", "obj"], n_parts=4,
+        resolve={"repo": F.least},
+    )
+    assert _parquet_content_hashes(path) == first
+    assert spark.read.parquet(path).count() == n_first
+
+
+def test_cdc_incremental_batches_merge_exactly(spark, tmp_path):
+    """Two source batches ingested incrementally (per-batch work dirs +
+    one shared triple table via run_kg(upsert=True, triples_path=...)):
+    the shared table must be EXACTLY the key-union of the two batches'
+    independently-built triple tables, with least()-merged provenance on
+    overlapping keys. (Deliberately NOT compared against a full rebuild:
+    entity linking/canonicalization is corpus-global, so incremental
+    batches canonicalize within-batch — the standard lambda tradeoff;
+    a periodic full re-canonicalization run closes that gap. The MERGE
+    itself must be exact, and that is what this pins.)"""
+    src = synth_source_files(spark, 200)
+    batch_a = src.filter(F.xxhash64("repo", "path") % 2 == 0)
+    batch_b = src.filter(F.xxhash64("repo", "path") % 2 != 0)
+    shared = str(tmp_path / "shared_triples")
+
+    run_kg(spark, batch_a, str(tmp_path / "batch_a"), n_parts=PARTS,
+           upsert=True, triples_path=shared)
+    merged = run_kg(spark, batch_b, str(tmp_path / "batch_b"), n_parts=PARTS,
+                    upsert=True, triples_path=shared)
+
+    # reference: the same two batches built independently, merged in pandas
+    ta = run_kg(spark, batch_a, str(tmp_path / "ref_a"), n_parts=PARTS)
+    tb = run_kg(spark, batch_b, str(tmp_path / "ref_b"), n_parts=PARTS)
+    expect = {(r.subj, r.pred, r.obj): r.repo for r in ta.collect()}
+    for r in tb.collect():
+        k = (r.subj, r.pred, r.obj)
+        expect[k] = min(expect[k], r.repo) if k in expect else r.repo
+
+    got = {(r.subj, r.pred, r.obj): r.repo for r in merged.collect()}
+    assert got == expect
+    assert _triple_set(merged) == _triple_set(ta) | _triple_set(tb)
+
+
 def test_mention_id_audit_detects_collision(spark):
     import pytest
     from kgforge.pipeline import audit_mention_ids

@@ -242,6 +242,55 @@ def test_grid_range_join_is_shuffled_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_grid_range_join_hot_cell_aqe_skew_split(spark):
+    """VERDICT r4 #5: a hot grid cell (80% of points in one cell — a hot
+    value range like a price spike) must be split by AQE skew-join, not
+    serialized into one straggler task. Same forced-low thresholds as
+    test_aqe_skew_join_splits_hot_key, but driven through grid_range_join
+    itself so the skew path of the PRODUCTION operator is what's pinned."""
+    import pyspark.sql.functions as F
+
+    from kgforge.queries import grid_range_join
+
+    skew_conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in skew_conf}
+    try:
+        for k, v in skew_conf.items():
+            spark.conf.set(k, v)
+        # 80% of points land in cell 0 ([0, 1000)); the rest spread
+        points = spark.range(0, 150_000).select(
+            F.col("id").alias("point_id"),
+            F.when(F.col("id") % 5 < 4, (F.col("id") % 1000).cast("double"))
+            .otherwise((F.col("id") % 100_000).cast("double") + 1000.0)
+            .alias("v"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        # intervals also concentrate on the hot range so the hot cell is
+        # hot on BOTH sides of the equi-join
+        intervals = spark.range(0, 2_000).select(
+            F.col("id").alias("band_id"),
+            F.when(F.col("id") % 5 < 4, (F.col("id") % 10).cast("double") * 100)
+            .otherwise((F.col("id") * 50).cast("double")).alias("lo"),
+            (F.when(F.col("id") % 5 < 4, (F.col("id") % 10).cast("double") * 100)
+             .otherwise((F.col("id") * 50).cast("double")) + 250.0).alias("hi"),
+        )
+        j = grid_range_join(points, intervals, "v").groupBy("band_id").count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_packing_window_is_sharded_not_per_lang(spark):
     """q50's packing window must partition by (lang, shard) — one reducer
     per LANGUAGE (q46's oracle-twin shape) is a scale-killer when the

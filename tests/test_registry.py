@@ -61,6 +61,38 @@ def test_latest_round_absentees_fit_in_snapshot():
     assert not [k for k in absent if k not in prefix]
 
 
+def test_no_query_staler_than_rotation_bound():
+    """Registry-freshness meta-test (VERDICT r4 #4): the rotation exists so
+    no query's latest PASSING driver row goes stale by more than
+    ceil(n_registered / cap) - 1 rounds (= 1 round at 83 queries / cap 50).
+    The r4 rotation worked (all 24 r3 absentees got fresh r4 rows) but
+    nothing asserted it KEEPS working; this fails the build if a future
+    round's snapshot would leave any query beyond the bound.
+
+    Never-verified queries (just added this round) are exempt from the
+    staleness bound — test_latest_round_absentees_fit_in_snapshot already
+    pins that they sit inside the next snapshot prefix."""
+    rounds = sorted(
+        int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
+        for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+    )
+    if not rounds:
+        return  # fresh clone without driver artifacts
+    latest = rounds[-1]
+    import math
+
+    bound = math.ceil(len(REGISTRY) / SNAPSHOT_CAP) - 1
+    seen = _last_driver_round()
+    stale = {
+        k: latest - seen[k]
+        for k in REGISTRY
+        if k in seen and latest - seen[k] > bound
+    }
+    assert not stale, (
+        f"queries staler than {bound} round(s) vs r{latest}: {stale}"
+    )
+
+
 def test_row_verified_classification():
     """Pass = oracle green or rows-only; any failure shape = unverified."""
     green = {"rows_match": True, "schema_match": True, "hash_match": True,

@@ -1,0 +1,768 @@
+"""Streaming, multimodal, scorecards, and the KG pipeline itself:
+q32-q40, q42, q49, q51, q66, q90-q96 + doc_neardup_components /
+leakage_free_split.
+
+Split from the monolithic queries.py in round 5 (VERDICT r4 #8);
+every (fn, sql) pair unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgforge import textops, vectorops
+from kgforge.queries.core import REGISTRY, Q, q, t, _dec_sum, _exact_stddev
+from kgforge.queries.vectors import _BANDED_BUCKETS_SQL, _COS_SQL
+
+
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = [0]
+
+
+@q(
+    "q32_streaming_counts",
+    """
+    SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+    """,
+)
+def q32_streaming_counts(spark, sf_dir):
+    """S1-analogue: Structured Streaming with availableNow trigger over the
+    events parquet; complete-mode agg to a memory sink, result returned as a
+    batch DataFrame (oracle: the equivalent batch aggregation)."""
+    schema = t(spark, sf_dir, "events").schema
+    _STREAM_SEQ[0] += 1
+    qname = f"kgforge_stream_counts_{_STREAM_SEQ[0]}"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sq = (
+        sdf.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(qname)
+
+
+@q(
+    "q33_multimodal_meta",
+    """
+    SELECT (octet_length(encode(text)) % 7 + 1) AS n_frames,
+           count(*) AS n_docs,
+           sum(octet_length(encode(text)))::bigint AS total_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def q33_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> mapInPandas decode stub ->
+    typed metadata agg (codec stubbed; Spark-side plumbing real)."""
+    from kgforge import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    meta = multimodal.extract_media_meta(multimodal.with_binary_payload(d))
+    return meta.groupBy("n_frames").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+@q("q90_kg_triples", None)
+def q90_kg_triples(spark, sf_dir):
+    """The full KG pipeline (north rule) on the seeded synthetic corpus:
+    extraction -> linking -> connected components -> canonicalize ->
+    dedup triples. Non-SQL-expressible (iterative CC) -> rows-only check."""
+    import tempfile
+
+    from kgforge.pipeline import run_kg
+    from kgforge.synth import synth_source_files
+
+    out = tempfile.mkdtemp(prefix="kgforge_q90_")
+    src = synth_source_files(spark, 600)
+    triples = run_kg(spark, src, out, n_parts=8)
+    return triples.select("subj", "pred", "obj").orderBy("subj", "pred", "obj")
+
+
+@q("q91_mention_extraction", None)
+def q91_mention_extraction(spark, sf_dir):
+    """Batched NER mention extraction (N5/N6) over the synthetic corpus:
+    per-entity-type mention counts. Rows-only (model path not in SQL)."""
+    from kgforge.extract import extract_mentions, with_clean
+    from kgforge.synth import synth_source_files
+
+    src = with_clean(synth_source_files(spark, 800))
+    m = extract_mentions(src)
+    return m.groupBy("entity_type").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("surface").alias("n_surfaces"),
+    )
+
+
+@q(
+    "q34_embedding_neardup",
+    f"""
+    WITH b AS ({_BANDED_BUCKETS_SQL}),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+        FROM b l JOIN b r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT a_id, b_id, round({_COS_SQL}, 6) AS cos_sim
+    FROM cand
+    JOIN embeddings a ON a.vec_id = a_id
+    JOIN embeddings q ON q.vec_id = b_id
+    ORDER BY cos_sim DESC, a_id, b_id LIMIT 20
+    """,
+)
+def q34_embedding_neardup(spark, sf_dir):
+    """Embedding near-dup: banded sign-LSH blocked self-join (never
+    O(n^2); any-band match, AND-of-r bits within a band) -> exact cosine on
+    candidates -> top-20 pairs. Production variant with hot-bucket salting:
+    vectorops.embedding_candidate_pairs."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bb = vectorops.with_band_buckets(e)
+    l = bb.select("band", "bucket", F.col("vec_id").alias("a_id"))
+    r = bb.select(
+        "band", "bucket",
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vec_b"),
+    )
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    withv = cand.join(
+        e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("vec_a")),
+        "a_id",
+    )
+    cos = F.round(vectorops.cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        withv.select("a_id", "b_id", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "a_id", "b_id")
+        .limit(20)
+    )
+
+
+_PROBED_BUCKETS_SQL = "\nUNION ALL\n".join(
+    [
+        f"SELECT vec_id, embedding, {b} AS band, "
+        f"{vectorops.band_bucket_sql(b)} AS bucket FROM embeddings"
+        for b in range(vectorops.EMB_BANDS)
+    ]
+    + [vectorops.band_probe_bucket_sql(b) for b in range(vectorops.EMB_BANDS)]
+)
+
+
+@q(
+    "q51_embedding_neardup_multiprobe",
+    f"""
+    WITH b AS ({_PROBED_BUCKETS_SQL}),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+        FROM b l JOIN b r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT a_id, b_id, round({_COS_SQL}, 6) AS cos_sim
+    FROM cand
+    JOIN embeddings a ON a.vec_id = a_id
+    JOIN embeddings q ON q.vec_id = b_id
+    ORDER BY cos_sim DESC, a_id, b_id LIMIT 20
+    """,
+)
+def q51_embedding_neardup_multiprobe(spark, sf_dir):
+    """Multi-probe embedding near-dup (VERDICT r2 next-round #8): each band
+    probes its exact bucket AND the flipped-lowest-|margin| bucket — recall
+    recovered without more bands, 2x candidate rows, same join shape as
+    q34. Fully oracle-checked (exact-decimal margins make the probe choice
+    engine-identical), not rows-only."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bb = vectorops.with_band_buckets_multiprobe(e)
+    l = bb.select("band", "bucket", F.col("vec_id").alias("a_id"))
+    r = bb.select(
+        "band", "bucket",
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vec_b"),
+    )
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    withv = cand.join(
+        e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("vec_a")),
+        "a_id",
+    )
+    cos = F.round(vectorops.cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        withv.select("a_id", "b_id", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "a_id", "b_id")
+        .limit(20)
+    )
+
+
+@q(
+    "q35_sessionization",
+    """
+    WITH g AS (
+        SELECT user_id, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (SELECT * FROM g ORDER BY user_id, event_id)
+    )
+    SELECT user_id, count(DISTINCT session_id)::bigint AS n_sessions,
+           count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def q35_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via cumulative-sum
+    window — the batch twin of a streaming session window."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    g = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = g.withColumn("session_id", F.sum("new_session").over(w2))
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@q(
+    "q36_rank_functions",
+    """
+    SELECT event_type, quartile, count(*) AS n,
+           round(min(pr), 4) AS min_pr, round(max(pr), 4) AS max_pr
+    FROM (
+        SELECT event_type,
+               ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pr
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    )
+    GROUP BY event_type, quartile
+    """,
+)
+def q36_rank_functions(spark, sf_dir):
+    """ntile + percent_rank windows (rank-function family coverage)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select(
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return r.groupBy("event_type", "quartile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("pr"), 4).alias("min_pr"),
+        F.round(F.max("pr"), 4).alias("max_pr"),
+    )
+
+
+@q(
+    "q37_string_functions",
+    """
+    SELECT count(DISTINCT upper(source)) AS n_upper,
+           count(DISTINCT substring(text, 1, 8)) AS n_prefix,
+           count(DISTINCT concat(lang, ':', source)) AS n_concat,
+           count(DISTINCT lpad(lang, 6, '_')) AS n_pad,
+           sum(length(replace(text, ' ', '')))::bigint AS chars_no_space
+    FROM documents
+    """,
+)
+def q37_string_functions(spark, sf_dir):
+    """String-function family: upper/substr/concat/lpad/replace (F-ops)."""
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.countDistinct(F.upper("source")).alias("n_upper"),
+        F.countDistinct(F.substring("text", 1, 8)).alias("n_prefix"),
+        F.countDistinct(F.concat_ws(":", "lang", "source")).alias("n_concat"),
+        F.countDistinct(F.lpad("lang", 6, "_")).alias("n_pad"),
+        F.sum(F.length(F.regexp_replace(F.col("text"), " ", ""))).alias(
+            "chars_no_space"
+        ),
+    )
+
+
+@q(
+    "q38_pivot",
+    """
+    SELECT year(ts) AS y,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint AS click,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::bigint AS signup,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::bigint AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q38_pivot(spark, sf_dir):
+    """A14 — pivot count per (group, category) (interpret.py:682-703
+    cluster x label shape). Explicit value list keeps the schema static."""
+    e = t(spark, sf_dir, "events")
+    cats = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy(F.year("ts").alias("y"))
+        .pivot("event_type", cats)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select("y", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in cats])
+
+
+@q(
+    "q39_array_ops",
+    """
+    SELECT list_position(string_split(text, ' '), 'spark') AS first_spark_pos,
+           count(*) AS n
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q39_array_ops(spark, sf_dir):
+    """F15 — array_position token-index lookup (conll_annotator.py:91-94),
+    histogrammed (0 = token absent in both engines' conventions)."""
+    d = t(spark, sf_dir, "documents")
+    pos = F.array_position(F.split(F.col("text"), " "), "spark")
+    return d.groupBy(pos.alias("first_spark_pos")).agg(F.count("*").alias("n"))
+
+
+@q("q92_vendor_scorecards", None)
+def q92_vendor_scorecards(spark, sf_dir):
+    """Vendor analytics (reference §3.3): posts -> batched NER -> per-vendor
+    aggregates -> weighted lending scorecards. Rows-only (model path);
+    q92b is the hash-verified twin through the regex mention path."""
+    from kgforge.scorecard import generate_scorecards
+    from kgforge.synth import synth_messages
+
+    return generate_scorecards(synth_messages(spark, 400)).select(
+        "channel", "n_posts", "avg_weekly_posts", "avg_views",
+        "top_post_id", "avg_price", "product_variety", "lending_score",
+    )
+
+
+@q(
+    "q92b_vendor_scorecards_regex",
+    """
+    WITH posts AS (
+        SELECT 'vendor_' || (user_id % 20) AS channel,
+               event_id AS message_id, ts AS date,
+               CAST(round(value * 100) AS BIGINT) AS views,
+               props, event_type
+        FROM events
+    ), posting AS (
+        SELECT channel, round(avg(n), 4) AS avg_weekly_posts
+        FROM (SELECT channel, year(date) AS y, weekofyear(date) AS w,
+                     count(*) AS n
+              FROM posts GROUP BY channel, y, w)
+        GROUP BY channel
+    ), viewagg AS (
+        SELECT channel, count(*) AS n_posts,
+               round(avg(nullif(views, 0)), 4) AS avg_views
+        FROM posts GROUP BY channel
+    ), top AS (
+        SELECT channel, message_id AS top_post_id
+        FROM (SELECT channel, message_id,
+                     row_number() OVER (PARTITION BY channel
+                                        ORDER BY views DESC, message_id) AS rn
+              FROM posts)
+        WHERE rn = 1
+    ), price AS (
+        SELECT channel, round(avg(amount), 4) AS avg_price
+        FROM (SELECT channel,
+                     try_cast(unnest(regexp_extract_all(props, '([0-9]+)', 1))
+                              AS double) AS amount
+              FROM posts)
+        GROUP BY channel
+    ), variety AS (
+        SELECT channel, count(DISTINCT event_type) AS product_variety
+        FROM posts GROUP BY channel
+    )
+    SELECT p.channel, v.n_posts, p.avg_weekly_posts, v.avg_views,
+           t.top_post_id, pr.avg_price, vr.product_variety,
+           round(least(100.0, 100.0 * (
+               0.4 * least(1.0, greatest(0.0, coalesce(v.avg_views, 0) / 5000.0))
+             + 0.3 * least(1.0, greatest(0.0, coalesce(p.avg_weekly_posts, 0) / 5.0))
+             + 0.2 * least(1.0, greatest(0.0, coalesce(pr.avg_price, 0) / 10000.0))
+             + 0.1 * least(1.0, greatest(0.0, coalesce(vr.product_variety, 0) / 50.0))
+           )), 4) AS lending_score
+    FROM posting p
+    JOIN viewagg v USING (channel)
+    LEFT JOIN top t USING (channel)
+    LEFT JOIN price pr USING (channel)
+    LEFT JOIN variety vr USING (channel)
+    """,
+)
+def q92b_vendor_scorecards_regex(spark, sf_dir):
+    """The north-rule scorecard block (A6-A10 + F18/F19), HASH-VERIFIED
+    (VERDICT r3 #6): the same vendor_metrics -> lending_scores DAG as q92,
+    fed by DETERMINISTIC regex mentions (regexp_extract_all, the F1-F3
+    Catalyst path) over the events table instead of the stand-in model —
+    every aggregate, window, weight and cap is reproduced by the DuckDB
+    oracle. channel = user_id bucket, views = scaled value, PRICE mentions
+    = digit runs in the props JSON, PRODUCT surface = event_type."""
+    from kgforge.scorecard import lending_scores, vendor_metrics
+
+    ev = t(spark, sf_dir, "events")
+    posts = ev.select(
+        F.concat(F.lit("vendor_"), (F.col("user_id") % 20).cast("string")).alias("channel"),
+        F.col("event_id").alias("message_id"),
+        F.col("ts").alias("date"),
+        F.round(F.col("value") * 100).cast("long").alias("views"),
+        "props",
+        "event_type",
+    )
+    price_m = posts.select(
+        "channel",
+        "message_id",
+        F.lit("PRICE").alias("entity_type"),
+        F.explode(
+            F.regexp_extract_all("props", F.lit("([0-9]+)"), 1)
+        ).alias("surface"),
+    )
+    prod_m = posts.select(
+        "channel",
+        "message_id",
+        F.lit("PRODUCT").alias("entity_type"),
+        F.col("event_type").alias("surface"),
+    )
+    mentions = price_m.unionByName(prod_m)
+    scored = lending_scores(
+        vendor_metrics(posts.drop("props", "event_type"), mentions)
+    )
+    return scored.select(
+        "channel", "n_posts", "avg_weekly_posts", "avg_views",
+        "top_post_id", "avg_price", "product_variety", "lending_score",
+    )
+
+
+def doc_neardup_components(d: DataFrame) -> DataFrame:
+    """documents -> (mention_id=doc_id, component_id) via xxhash64 MinHash
+    band signatures -> band-equality candidate pairs -> iterative connected
+    components. Shared by q93 (dedup) and q66 (leakage-free split)."""
+    from kgforge import canon
+
+    sh = textops.word_shingles(F.col("text"), 3)
+    # production path: xxhash64 band signatures (minhash_band_sig_fast);
+    # the md5 twin stays in q22 where the DuckDB oracle needs it
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                textops.minhash_band_sig_fast(sh, band).alias("sig"),
+            )
+            for band in (0, 1)
+        ]
+    )
+    sigs = d.select(
+        F.col("doc_id").alias("mention_id"), F.explode(bands_arr).alias("bs")
+    ).select("mention_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.mention_id") < F.col("b.mention_id")),
+        )
+        .select(
+            F.col("a.mention_id").alias("src"),
+            F.col("b.mention_id").alias("dst"),
+            F.lit(1.0).alias("sim"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    vertices = d.select(F.col("doc_id").alias("mention_id"))
+    return canon.connected_components(vertices, edges)
+
+
+@q("q93_doc_neardup_dedup", None)
+def q93_doc_neardup_dedup(spark, sf_dir):
+    """Near-duplicate DOCUMENT dedup end-to-end: MinHash band signatures ->
+    candidate pairs -> connected components (transitive closure) -> keep
+    min doc_id per cluster. The corpus-curation composition of kgforge.link
+    + kgforge.canon; rows-only (iterative CC not SQL-expressible)."""
+    d = t(spark, sf_dir, "documents")
+    assign = doc_neardup_components(d)
+    survivors = assign.groupBy("component_id").agg(
+        F.min("mention_id").alias("kept_doc_id"),
+        F.count("*").alias("cluster_size"),
+    )
+    return survivors.select(
+        F.count("*").alias("n_clusters"),
+        F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0)).alias(
+            "n_neardup_clusters"
+        ),
+        F.sum("cluster_size").alias("n_docs"),
+        F.max("cluster_size").alias("max_cluster"),
+    )
+
+
+def leakage_free_split(
+    d: DataFrame, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Train/val/test split with NO leakage across near-duplicate clusters:
+    the split is assigned to the CLUSTER (hash of its component id), and
+    every member document inherits it — a near-dup of a training doc can
+    never land in test (the contamination q45's per-doc hash split cannot
+    rule out). Returns (doc_id, component_id, split). Deterministic; the
+    pytest asserts the no-cluster-spans-two-splits invariant."""
+    assign = doc_neardup_components(d)
+    bucket = F.pmod(F.xxhash64(F.col("component_id").cast("string")), F.lit(100))
+    return assign.select(
+        F.col("mention_id").alias("doc_id"),
+        "component_id",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@q("q66_leakage_free_split", None)
+def q66_leakage_free_split(spark, sf_dir):
+    """Cluster-aware corpus split summary: near-dup components (q93's
+    machinery) -> split-by-cluster-hash -> per-split doc and cluster
+    counts. Rows-only (iterative CC not SQL-expressible); the splitting
+    invariant is pytest-asserted instead."""
+    d = t(spark, sf_dir, "documents")
+    s = leakage_free_split(d)
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("component_id").alias("n_clusters"),
+    )
+
+
+_Q42_CANDIDATES = [
+    # the reference's comparison table shape (compare_model.py:430-440):
+    # model, f1, inference_ms, size_mb, train_min
+    ("afroxlmr-large", 0.9231, 31.0, 2200.0, 96.0),
+    ("xlmr-base", 0.9045, 17.0, 1100.0, 54.0),
+    ("mbert-cased", 0.8712, 14.0, 680.0, 47.0),
+    ("distil-mbert", 0.8423, 9.0, 540.0, 31.0),
+    ("afro-xlmr-mini", 0.8120, 6.0, 290.0, 22.0),
+]
+_Q42_VALUES = ", ".join(
+    f"('{m}', {f1}, {ms}, {mb}, {mins})" for m, f1, ms, mb, mins in _Q42_CANDIDATES
+)
+
+
+@q(
+    "q42_model_score_ranking",
+    f"""
+    WITH cand(model, f1, inference_ms, size_mb, train_min) AS (
+        VALUES {_Q42_VALUES}
+    ), scored AS (
+        SELECT model,
+               round(0.5 * f1
+                   + 0.2 * (1 - inference_ms / max(inference_ms) OVER ())
+                   + 0.2 * (1 - size_mb / max(size_mb) OVER ())
+                   + 0.1 * (1 - train_min / max(train_min) OVER ()), 6)
+                 AS weighted_score
+        FROM cand
+    )
+    SELECT model, weighted_score,
+           row_number() OVER (ORDER BY weighted_score DESC, model) AS rank
+    FROM scored ORDER BY rank
+    """,
+)
+def q42_model_score_ranking(spark, sf_dir):
+    """Model-comparison weighted-score ranking (compare_model.py:473-481
+    formula verbatim: 0.5*F1 + 0.2*speed + 0.2*size + 0.1*time, each cost
+    max-normalized over the candidate set) — the SQL-expressible half of
+    the comparison harness (kgforge.compare; full distributed-eval variant:
+    q95)."""
+    from kgforge.compare import weighted_ranking
+
+    cand = spark.createDataFrame(
+        _Q42_CANDIDATES, "model string, f1 double, inference_ms double, "
+        "size_mb double, train_min double"
+    )
+    ranked = weighted_ranking(cand)
+    return ranked.select(
+        "model", "weighted_score", F.col("rank").cast("long").alias("rank")
+    ).orderBy("rank")
+
+
+@q("q94_eval_report", None)
+def q94_eval_report(spark, sf_dir):
+    """Evaluation-report job composition (interpret.py analogue, rows-only):
+    golden (repaired) vs predicted (raw) tags over a deterministic synth
+    corpus -> true->pred confusion histogram (the report's error_confusions
+    table; full artifact: jobs/run_interpret.py)."""
+    from kgforge.jobs.run_interpret import golden_and_predicted
+    from kgforge.metrics import error_cases
+    from kgforge.report import error_confusions
+
+    golden, predicted = golden_and_predicted(spark, None, 200)
+    return error_confusions(error_cases(golden, predicted))
+
+
+@q("q95_model_comparison", None)
+def q95_model_comparison(spark, sf_dir):
+    """Full model-comparison harness (rows-only): N stand-in candidates,
+    each span-evaluated DISTRIBUTED against the golden corpus, then the
+    reference's weighted-score ranking — winner = rank 1."""
+    from kgforge.compare import compare_models
+    from kgforge.jobs.run_interpret import golden_and_predicted
+
+    golden, _ = golden_and_predicted(spark, None, 200)
+    return compare_models(spark, golden)
+
+
+@q("q96_tokenized_rows", None)
+def q96_tokenized_rows(spark, sf_dir):
+    """Tokenized-training-rows production (train_ner.py:252-303 analogue,
+    rows-only): (sent_id, input_ids, labels) via one mapInPandas pass,
+    summarized as the per-label supervised-position histogram (the -100
+    sentinel positions excluded, like the reference's loss mask)."""
+    from kgforge.alignment import tokenized_training_rows
+    from kgforge.jobs.run_interpret import golden_and_predicted
+
+    sentences, _ = golden_and_predicted(spark, None, 200)
+    rows = tokenized_training_rows(sentences)
+    return (
+        rows.select(F.explode("labels").alias("label_id"))
+        .filter(F.col("label_id") != -100)
+        .groupBy("label_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label_id")
+    )
+
+
+@q("q49_media_features", None)
+def q49_media_features(spark, sf_dir):
+    """REAL multimodal decode (rows-only; stdlib codecs): a mixed media
+    table (P6 PPM images, real zlib-decoded PNGs with rotating scanline
+    filters, PCM16 WAVs, baseline JPEGs — 4:4:4 and 4:2:0 alternating —
+    plus one corrupt JPEG that the dispatcher must skip) -> decode +
+    resize/frame-sample + features via mapInPandas -> per-kind aggregate.
+    Exercises the un-stubbed decode_real path (VERDICT r1 missing #4; PNG
+    added r4 per VERDICT r3 #3; JPEG added r5 per VERDICT r4 #3)."""
+    import numpy as np
+
+    from kgforge.multimodal import (
+        decode_ppm,
+        encode_jpeg,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+        extract_media_features,
+    )
+
+    rows = []
+    for i in range(48):
+        if i % 4 == 0:
+            rows.append((i, bytearray(encode_ppm(16 + i % 5, 12 + i % 3, seed=i))))
+        elif i % 4 == 1:
+            img = decode_ppm(encode_ppm(10 + i % 4, 8 + i % 3, seed=i))
+            rows.append((i, bytearray(encode_png(np.asarray(img), filter_type=i % 5))))
+        elif i % 4 == 2:
+            img = decode_ppm(encode_ppm(12 + i % 5, 10 + i % 3, seed=i))
+            rows.append((i, bytearray(encode_jpeg(
+                np.asarray(img), quant=8, subsample=bool(i % 8 == 2)
+            ))))
+        else:
+            rows.append((i, bytearray(encode_wav(400 + i * 7, seed=i))))
+    rows.append((99, bytearray(b"\xff\xd8\xff\xe0fakejpeg")))
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = extract_media_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_frames").alias("total_frames"),
+            F.round(F.sum(F.element_at("features", 1)), 4).alias("sum_feat0"),
+        )
+        .orderBy("kind")
+    )
+
+
+@q(
+    "q40_asof_join",
+    """
+    WITH probes AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), quotes AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           (epoch_ms(p.ts) - epoch_ms(v.ts))::bigint AS lag_ms,
+           v.value AS view_value
+    FROM probes p ASOF LEFT JOIN quotes v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q40_asof_join(spark, sf_dir):
+    """As-of join — an operator Spark lacks, composed from existing ops
+    (task brief): each purchase matched to the same user's latest view at
+    or before it. Union both sides with a tag, one window pass per user
+    ordered by (ts, tag), carry the last view forward with
+    last(..., ignoreNulls) — one shuffle, no range explosion. Oracle:
+    DuckDB's native ASOF JOIN."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("long").alias("_view_id"),
+        F.lit(None).cast("double").alias("_view_value"),
+        F.lit(None).cast("timestamp").alias("_view_ts"),
+    )
+    quotes = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("_tag"),
+        F.col("event_id").alias("_view_id"),
+        F.col("value").alias("_view_value"),
+        F.col("ts").alias("_view_ts"),
+    )
+    # views sort before purchases at equal ts (as-of '>=' semantics)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_tag", "_view_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = probes.unionByName(quotes).select(
+        "*",
+        F.last("_view_id", ignorenulls=True).over(w).alias("view_id"),
+        F.last("_view_value", ignorenulls=True).over(w).alias("view_value"),
+        F.last("_view_ts", ignorenulls=True).over(w).alias("matched_ts"),
+    )
+    return merged.filter(F.col("_tag") == 1).select(
+        "purchase_id",
+        "view_id",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.col("matched_ts").cast("timestamp"))
+        ).alias("lag_ms"),
+        "view_value",
+    )
+
+

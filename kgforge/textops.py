@@ -70,6 +70,66 @@ def decontaminate_hits(
     )
 
 
+def bloom_decontaminate_hits(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    depths: int = 3,
+    hex_chars: int = 3,
+) -> DataFrame:
+    """Bloom-filter decontamination: the BOUNDED-size variant of
+    ``decontaminate_hits`` for when even the eval n-gram set is too large
+    to broadcast exactly (a full benchmark suite at k=13 reaches hundreds
+    of millions of distinct n-grams; a Bloom filter of any eval set is
+    ``depths * 16^hex_chars`` positions, here 3x4096).
+
+    Bit positions are (depth, hex-prefix-of-md5) pairs — engine-portable
+    strings like q75's count-min buckets, so the whole sketch (including
+    its deterministic false positives: that is the sketch contract, a
+    superset never a miss) is reproducible in the DuckDB oracle and
+    HASH-verified. Scale shape: the bit set is built from the tiny eval
+    side and broadcast; the corpus side explodes to distinct per-doc
+    n-grams map-side, probes the broadcast bits, and keeps an n-gram only
+    when ALL ``depths`` positions are set; one partial-agg per-doc count.
+    Production swaps the string positions for a real bitmap UDF — the
+    dataflow (broadcast sketch, map-only probe) is identical.
+    """
+    spark = corpus.sparkSession
+    ngrams = word_shingles(F.col(text_col), k)
+    depth_df = F.broadcast(
+        spark.range(depths).select(F.col("id").cast("int").alias("d"))
+    )
+
+    def pos(ng: Column) -> Column:
+        return F.substring(
+            F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), ng)),
+            1,
+            hex_chars,
+        )
+
+    bits = (
+        eval_df.select(F.explode(ngrams).alias("ngram"))
+        .crossJoin(depth_df)
+        .select("d", pos(F.col("ngram")).alias("pos"))
+        .distinct()
+    )
+    probes = (
+        corpus.select(F.col(id_col), F.explode(ngrams).alias("ngram"))
+        .distinct()
+        .crossJoin(depth_df)
+        .select(id_col, "ngram", "d", pos(F.col("ngram")).alias("pos"))
+    )
+    maybe = (
+        probes.join(F.broadcast(bits), ["d", "pos"])
+        .groupBy(id_col, "ngram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") == depths)
+    )
+    return maybe.groupBy(id_col).agg(F.count("*").alias("maybe_hits"))
+
+
 def minhash_band_sig(shingle_arr: Column, band: int) -> Column:
     """One band's MinHash signature: lexicographic min of md5(band || shingle).
 

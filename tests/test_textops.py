@@ -192,3 +192,74 @@ def test_countmin_estimate_is_one_sided_upper_bound(spark):
     assert len(rows) == 10
     assert all(r.overcount >= 0 for r in rows.values())
     assert all(r.est_n >= r.exact_n for r in rows.values())
+
+
+def test_bloom_decontaminate_is_superset_of_exact(spark):
+    """The Bloom sketch contract (q76 vs q56): per-doc maybe_hits must be a
+    SUPERSET of the exact decontamination hits — a Bloom filter can false-
+    positive, never false-negative. Checked on real testdata."""
+    from kgforge import textops
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    is_eval = F.col("doc_id") % 97 == 0
+    corpus, ev = d.filter(~is_eval), d.filter(is_eval)
+    exact = {
+        r.doc_id: r.hits
+        for r in textops.decontaminate_hits(corpus, ev, k=3).collect()
+    }
+    bloom = {
+        r.doc_id: r.maybe_hits
+        for r in textops.bloom_decontaminate_hits(corpus, ev, k=3).collect()
+    }
+    assert exact, "fixture must produce some contaminated docs"
+    for doc_id, hits in exact.items():
+        assert doc_id in bloom, f"bloom missed contaminated doc {doc_id}"
+        assert bloom[doc_id] >= hits, (doc_id, bloom[doc_id], hits)
+
+
+def test_hopping_window_covers_each_event_twice(spark):
+    """q79: size/slide = 2, so summed window counts = exactly 2x the event
+    count, and every window start is slide-aligned."""
+    from kgforge.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["q79_hopping_window"].fn(spark, sf).collect()
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == 2 * n_events
+    assert all(r.win_start_s % 300 == 0 for r in rows)
+
+
+def test_salted_agg_matches_plain_and_spreads_key(spark):
+    """q80: the salted two-phase aggregate must equal the plain aggregate
+    bit-for-bit, and its FIRST shuffle must group on (key, salt) — the
+    physical property that spreads a hot key over 16 reducers."""
+    from kgforge.queries import REGISTRY, t
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    df = REGISTRY["q80_salted_hot_key_agg"].fn(spark, sf)
+    got = {r.l_returnflag: (r.n_rows, r.sum_qty, r.sum_price)
+           for r in df.collect()}
+    plain = {
+        r.l_returnflag: (
+            r.n_rows,
+            float(r.sq),
+            float(r.sp),
+        )
+        for r in t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("sq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("sp"),
+        )
+        .collect()
+    }
+    assert got == plain
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg_lines = [ln for ln in plan.splitlines()
+                 if "HashAggregate" in ln and "salt" in ln]
+    assert agg_lines, plan[:1500]

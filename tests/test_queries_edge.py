@@ -70,3 +70,57 @@ def test_q71_constant_vector_quantizes_to_zero(spark):
     )
     oracle = con.execute(REGISTRY["q71_embedding_quantize_int8"].sql).fetchall()
     assert [(r[0], r[1], r[2]) for r in oracle] == [(1, 2, 510)]
+
+
+def test_bloom_decontaminate_empty_eval_set(spark):
+    """An empty eval side must produce an empty (not failing) result —
+    the broadcast bit set is empty, every probe misses."""
+    from kgforge import textops
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    empty = corpus.filter(F.lit(False))
+    assert textops.bloom_decontaminate_hits(corpus, empty, k=3).count() == 0
+
+
+def test_hopping_window_boundary_event(spark):
+    """An event exactly ON a window start belongs to that window and the
+    one before it — half-open [start, start+size) semantics on both
+    engines (floor division of an exact multiple)."""
+    import datetime
+
+    from kgforge.queries import REGISTRY
+    import os
+    import tempfile
+
+    ts = datetime.datetime(2024, 1, 1, 0, 10, 0)  # epoch multiple of 300s
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, ts, 10, "view", 5.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        rows = REGISTRY["q79_hopping_window"].fn(spark, d).collect()
+    starts = sorted(r.win_start_s for r in rows)
+    e = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert starts == [e - 300, e]
+
+
+def test_upsert_empty_change_set_is_noop(spark, tmp_path):
+    """Upserting zero changes must leave the table untouched (no partition
+    is 'touched', nothing is rewritten)."""
+    from kgforge.materialize import upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("a", "p", "x", "r1")],
+        "subj string, pred string, obj string, repo string",
+    )
+    upsert_partitioned(base, path, ["subj", "pred", "obj"], n_parts=4)
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    upsert_partitioned(
+        base.filter(F.lit(False)), path, ["subj", "pred", "obj"], n_parts=4
+    )
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before

@@ -1417,3 +1417,128 @@ def q78_incremental_agg_merge(spark, sf_dir):
         .alias("status"),
     )
     return merged.orderBy(F.col("total_price").desc(), "custkey").limit(50)
+
+
+@q(
+    "q81_copurchase_degree",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT p, count(*) AS degree FROM (
+            SELECT p1 AS p FROM pairs UNION ALL SELECT p2 AS p FROM pairs
+        ) GROUP BY p
+    )
+    SELECT degree, count(*) AS n_parts
+    FROM deg GROUP BY degree
+    """,
+)
+def q81_copurchase_degree(spark, sf_dir):
+    """Graph-edge construction from a fact table + degree distribution
+    (new r5; the relational half of the KG tier): parts co-occurring in
+    one order become edges via a co-partitioned self-equi-join on
+    l_orderkey — LARGE-LARGE but linear, because the per-order line count
+    is bounded (~4-7), so the per-key pair fan-out is O(k^2) with tiny k,
+    never a cross-table explosion. distinct collapses repeat edges, then
+    a two-level agg gives each part's co-purchase degree and the degree
+    histogram. Exactly the mention->edge shape of the KG pipeline
+    (pipeline.run_graph) with an oracle-checkable input. Skewed hot parts
+    are just hot agg keys — partial agg + AQE handle them."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("p1").alias("p"))
+        .unionAll(pairs.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_parts"))
+
+
+@q(
+    "q82_token_pmi_lift",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok FROM toks GROUP BY tok
+        ORDER BY count(*) DESC, tok LIMIT 50
+    ), dt AS (
+        SELECT DISTINCT doc_id, tok FROM toks
+        WHERE tok IN (SELECT tok FROM vocab)
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), cnt AS (
+        SELECT tok, count(*) AS n_t FROM dt GROUP BY tok
+    ), pairs AS (
+        SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_ab
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT t1, t2, n_ab,
+           CAST(round(n_ab * 1.0 * n_docs * 10000 / (c1.n_t * c2.n_t))
+                AS BIGINT) AS lift_x10k
+    FROM pairs JOIN cnt c1 ON t1 = c1.tok JOIN cnt c2 ON t2 = c2.tok, n
+    ORDER BY lift_x10k DESC, t1, t2 LIMIT 30
+    """,
+)
+def q82_token_pmi_lift(spark, sf_dir):
+    """Token co-occurrence mining (new r5): PMI-style lift over the top-50
+    vocabulary — collocation discovery / phrase-mining's counting core.
+    Determinism: lift is pure integer arithmetic until ONE final division
+    (n_ab * N * 10^4 / (n_a * n_b)), so no float accumulation anywhere
+    (a log-PMI would hit cross-engine libm ulp differences; lift is
+    monotone in PMI so the ranking is the same). Scale shape: vocab is a
+    broadcast top-k; per-doc distinct vocab tokens <= 50 bounds the
+    self-join fan-out at O(50^2) per doc; the pair count is one
+    partial-agg shuffle; totals broadcast back. Top-30 with total
+    tie-break."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(50)
+        .select("tok")
+    )
+    dt = toks.join(F.broadcast(vocab), "tok").distinct()
+    n_docs = d.count()  # bounded driver-side scalar (like q57's N)
+    cnt = dt.groupBy("tok").agg(F.count("*").alias("n_t"))
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("t1"), F.col("b.tok").alias("t2"))
+        .agg(F.count("*").alias("n_ab"))
+    )
+    scored = (
+        pairs.join(F.broadcast(cnt.withColumnRenamed("tok", "t1")
+                               .withColumnRenamed("n_t", "n_t1")), "t1")
+        .join(F.broadcast(cnt.withColumnRenamed("tok", "t2")
+                          .withColumnRenamed("n_t", "n_t2")), "t2")
+        .select(
+            "t1", "t2", "n_ab",
+            F.round(
+                F.col("n_ab") * 1.0 * F.lit(n_docs) * 10000
+                / (F.col("n_t1") * F.col("n_t2"))
+            ).cast("long").alias("lift_x10k"),
+        )
+    )
+    return scored.orderBy(F.col("lift_x10k").desc(), "t1", "t2").limit(30)

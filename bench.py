@@ -271,27 +271,42 @@ def run_full_kg(cores: int, timeout_sec: float | None = None,
     ``timeout_sec`` time-boxes the subprocess so one storm run cannot eat
     the whole bench budget (VERDICT r4 #1: r4's first run took so long the
     budget guards shed the runs that would have made the median robust).
+    The child runs in its OWN process group and the whole group is killed
+    on timeout — subprocess.run's timeout kills only the python child,
+    orphaning the local[N] JVM grandchild, which would then burn N cores
+    under every subsequently timed leg and corrupt exactly the stall
+    numbers this protocol exists to protect (code-review r5).
     A timed-out / failed run returns None (logged) unless ``required``."""
+    import signal
+
     out_dir = f"/tmp/kgforge_bench_kg_{cores}"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "kgforge.jobs.bench_kg",
+         "--cores", str(cores), "--corpus", CORPUS, "--out", out_dir,
+         "--probe-corpus", PROBE_CORPUS],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        start_new_session=True,
+    )
     try:
-        proc = subprocess.run(
-            [sys.executable, "-m", "kgforge.jobs.bench_kg",
-             "--cores", str(cores), "--corpus", CORPUS, "--out", out_dir,
-             "--probe-corpus", PROBE_CORPUS],
-            capture_output=True, text=True, timeout=timeout_sec,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
+        stdout, stderr = proc.communicate(timeout=timeout_sec)
     except subprocess.TimeoutExpired:
-        log(f"  KG run timed out after {timeout_sec}s (storm box)")
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+        log(f"  KG run timed out after {timeout_sec}s (storm box); "
+            "process group killed")
         if required:
             raise
         return None
     if proc.returncode != 0:
-        log(proc.stderr[-2000:])
+        log(stderr[-2000:])
         if required:
             raise RuntimeError(f"full KG bench cores={cores} failed")
         return None
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    return json.loads(stdout.strip().splitlines()[-1])
 
 
 class Leg:
@@ -701,23 +716,29 @@ def main() -> int:
         else:
             log(f"  budget: shedding KG run {i} ({round(time_left())}s left)")
     run_rates = [r["triples_per_sec"] for r in runs]
+    run_probes = [r.get("stall_probe_sec") for r in runs]
     kg_median = statistics.median(run_rates)
     # keep the detail block of the median-closest run (exact median run
-    # for odd n), but the headline VALUE is the median itself
+    # for odd n), but the headline VALUE is the median itself.
+    # NOTE: `full` aliases one element of `runs`, so every per-run number
+    # below uses the run_rates/run_probes lists captured ABOVE — computing
+    # from r["triples_per_sec"] after this overwrite corrupted the
+    # median-closest run's stall-normalized rate whenever n was even
+    # (code-review r5).
     full = min(runs, key=lambda r: abs(r["triples_per_sec"] - kg_median))
     full["triples_per_sec"] = round(kg_median, 1)
     full["runs_triples_per_sec"] = run_rates
     full["runs_weather_gbps"] = kg_weather
-    full["runs_stall_probe_sec"] = [r.get("stall_probe_sec") for r in runs]
+    full["runs_stall_probe_sec"] = run_probes
     # stall-normalized rates: rate_i * (probe_i / best_probe). If run i ran
     # inside a stall that slowed the fixed probe 2x, its normalized rate
     # credits the slowdown to the host — attributable INSIDE the artifact.
-    probes = [p for p in full["runs_stall_probe_sec"] if p]
+    probes = [p for p in run_probes if p]
     if probes:
         best = min(probes)
         full["runs_stall_normalized"] = [
-            round(r["triples_per_sec"] * (p / best), 1) if p else None
-            for r, p in zip(runs, full["runs_stall_probe_sec"])
+            round(rate * (p / best), 1) if p else None
+            for rate, p in zip(run_rates, run_probes)
         ]
         full["stall_normalized_median"] = round(statistics.median(
             [x for x in full["runs_stall_normalized"] if x]

@@ -128,6 +128,12 @@ def upsert_partitioned(
     Idempotent: upserting the same change set twice is a no-op second time
     (pipeline test pins fingerprint identity); output files are written
     sorted by ``key_cols`` so re-merges are layout-stable too.
+
+    Limitation (code-review r5): the default coalesce merge cannot write
+    an explicit NULL over an existing value (coalesce falls through to the
+    target) — matching Iceberg's ``UPDATE SET col = NULL`` needs a
+    null-sensitive ``resolve`` entry, e.g. tag presence in a struct column
+    and resolve on the tag. The triples path never writes NULLs.
     """
     spark = changes.sparkSession
     if part_col in changes.columns:
@@ -136,21 +142,58 @@ def upsert_partitioned(
     changes = with_part_id(changes, key_cols, n_parts)
     out_cols = key_cols + value_cols + [part_col]
 
+    # ONLY a missing table means "first write". A bare except here would
+    # turn schema drift, a corrupt footer, or a transient FS error into a
+    # dynamic overwrite that silently DELETES every pre-existing row in
+    # the touched partitions (code-review r5) — those must propagate.
+    from pyspark.errors import AnalysisException
+
     try:
-        target = spark.read.parquet(path).select(*out_cols)
-    except Exception:
-        target = None  # first write: plain partitioned create
-    if target is None:
+        target_raw = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            target_raw = None
+        else:
+            raise
+    if target_raw is None:
         write_partitioned(
             changes.select(*out_cols), path, part_col,
             table_format=table_format, sort_cols=key_cols,
         )
         return
+    target = target_raw.select(*out_cols)
 
+    # Guard the co-partitioning invariant: the merge join matches on
+    # key_cols + part_col, so a batch run with a DIFFERENT n_parts than
+    # the table was built with would never match existing keys — the
+    # change would INSERT a duplicate while the stale row survives, with
+    # no error (code-review r5). Two cheap checks that together cover both
+    # directions: (a) the target's partition VALUES (metadata-only: a
+    # partition-directory column) must all lie in [0, n_parts) — catches a
+    # smaller n_parts, where recomputed ids of low partitions coincide and
+    # a recompute check alone is blind; (b) recomputed part ids on the
+    # pruned rows must equal the stored ones — catches a larger n_parts.
+    existing = [r[0] for r in target.select(part_col).distinct().collect()]
+    if any(p is None or p < 0 or p >= n_parts for p in existing):
+        raise ValueError(
+            f"upsert_partitioned: target at {path} has partition ids "
+            f"outside [0, {n_parts}) — it was built with a different "
+            "n_parts; refusing to merge (would duplicate keys)"
+        )
     touched = [
         r[0] for r in changes.select(part_col).distinct().collect()
     ]  # bounded by n_parts — a driver-side list, not data
     pruned = target.filter(F.col(part_col).isin(touched))
+    mismatched = pruned.filter(
+        F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_parts))
+        .cast("int") != F.col(part_col)
+    ).limit(1).count()
+    if mismatched:
+        raise ValueError(
+            f"upsert_partitioned: target at {path} was not partitioned with "
+            f"n_parts={n_parts} over {key_cols}; refusing to merge (would "
+            "duplicate keys across partitions)"
+        )
     ch = changes.select(
         *key_cols, part_col,
         *[F.col(v).alias(f"__c_{v}") for v in value_cols],

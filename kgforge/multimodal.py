@@ -605,7 +605,10 @@ class _BitReader:
                 raise ValueError("JPEG entropy data truncated at marker")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask consumed high bits BEFORE shifting: without this, acc grows
+        # by 8 bits per byte ever read, making decode O(n^2) bigint work
+        # on photo-sized entropy segments (code-review r5)
+        self.acc = (((self.acc & ((1 << self.nbits) - 1)) << 8) | b)
         self.nbits += 8
 
     def bit(self) -> int:
@@ -757,9 +760,13 @@ def _decode_scan(blob, pos, sof, qt, huff, scan_tables, restart_interval):
             preds = [0] * len(comps)
         my, mx = divmod(mcu, mcus_x)
         for ci, c in enumerate(comps):
+            if c["id"] not in scan_tables:
+                raise ValueError(f"JPEG SOS missing component id {c['id']}")
             dc_tab = huff.get((0, scan_tables[c["id"]][0]))
             ac_tab = huff.get((1, scan_tables[c["id"]][1]))
-            q = qt[c["tq"]]
+            q = qt.get(c["tq"])
+            if q is None:
+                raise ValueError(f"JPEG scan references missing DQT {c['tq']}")
             if dc_tab is None or ac_tab is None:
                 raise ValueError("JPEG scan references missing huffman table")
             for by in range(c["v"]):
@@ -865,11 +872,13 @@ def decode_real(blob: bytes) -> dict:
         import struct
 
         # same skip-on-error normalization as PNG: truncated segments raise
-        # struct.error / IndexError from the parser — one bad blob must
-        # skip, not kill the task
+        # struct.error / IndexError, and a scan referencing an undefined
+        # quant/huffman table id or unknown SOS component id raises
+        # KeyError (code-review r5) — one bad blob must skip, not kill the
+        # task
         try:
             img = decode_jpeg(blob)
-        except (struct.error, IndexError) as e:
+        except (struct.error, IndexError, KeyError) as e:
             raise ValueError(f"malformed JPEG: {e}") from e
         small = resize_nearest(img, 8, 8)
         return {

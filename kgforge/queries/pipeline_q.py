@@ -766,3 +766,56 @@ def q40_asof_join(spark, sf_dir):
     )
 
 
+
+
+@q(
+    "q83_stream_hopping_window",
+    """
+    WITH x AS (
+        SELECT (epoch_ms(ts) // 300000) * 300000 AS w0, value FROM events
+    ), h AS (
+        SELECT w0 AS w, value FROM x
+        UNION ALL
+        SELECT w0 - 300000 AS w, value FROM x
+    )
+    SELECT w // 1000 AS win_start_s, count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,2)))::double AS sum_value
+    FROM h GROUP BY w
+    """,
+)
+def q83_stream_hopping_window(spark, sf_dir):
+    """STREAMING hopping windows (new r5): q79's 10-min/5-min hop run as a
+    Structured Streaming query — window() operator over an availableNow
+    file stream, complete-mode memory sink — and ORACLE-VERIFIED against
+    the same epoch-arithmetic SQL as the batch twin (session TZ is UTC, so
+    window() epoch alignment matches the integer math exactly; most
+    streaming ops are rows-only, this one closes the loop). At scale this
+    is the continuously-running form: watermark bounds state, windows
+    close and emit append-mode to the sink; the aggregation plan is
+    identical to q79's explode+partial-agg."""
+    schema = t(spark, sf_dir, "events").schema
+    _STREAM_SEQ[0] += 1
+    qname = f"kgforge_stream_hop_{_STREAM_SEQ[0]}"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sq = (
+        sdf.groupBy(F.window(F.col("ts"), "10 minutes", "5 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum(F.col("value")).alias("sum_value"),
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(qname).select(
+        F.unix_timestamp(F.col("window.start")).alias("win_start_s"),
+        "n_events",
+        "sum_value",
+    )

@@ -101,6 +101,7 @@ HEADLINE = [
     "q31_centroid_cosine",
     "q68_global_shuffle",
     "q69_range_join_grid",
+    "q81_copurchase_degree",
 ]
 
 

@@ -25,6 +25,8 @@ import did):
 - ``vectors``    q29-q31/q43/q44 (cosine top-k, IVF, k-means)
 - ``pipeline_q`` q32-q40/q42/q49/q51/q66/q90-q96 (streaming, multimodal,
                  scorecards, the KG pipeline itself)
+- ``graph_temporal`` q84/q85/q87-q89 (SCD2 history, priority sampling,
+                 deletion-neighborhood linking, PageRank, triangles)
 - ``rotation``   deterministic driver-snapshot rotation (pinned first,
                  stalest-verified next)
 """
@@ -57,6 +59,7 @@ from kgforge.queries.pipeline_q import (  # noqa: F401
     doc_neardup_components,
     leakage_free_split,
 )
+from kgforge.queries import graph_temporal as _graph_temporal  # noqa: E402,F401
 
 # Rotation LAST: it reorders the now-complete REGISTRY (and fails fast if a
 # pinned name went missing).

@@ -25,7 +25,7 @@ def test_registry_counts_match_docs():
     different query counts. The documented split lives HERE, once; update
     this test and all three docs together when adding queries."""
     oracle = sum(1 for qd in REGISTRY.values() if qd.sql is not None)
-    assert (len(REGISTRY), oracle) == (91, 78), (len(REGISTRY), oracle)
+    assert (len(REGISTRY), oracle) == (96, 83), (len(REGISTRY), oracle)
 
 
 def test_pinned_queries_lead_the_registry():

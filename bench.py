@@ -102,6 +102,7 @@ HEADLINE = [
     "q68_global_shuffle",
     "q69_range_join_grid",
     "q81_copurchase_degree",
+    "q88_pagerank",
 ]
 
 

@@ -262,7 +262,27 @@ def q87_deletion_neighborhood_linking(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PR_ITERS = 4
-_PR_T = 1_000_000_000_000  # rank scale: 1.0 == 10^12
+_PR_T = 1_000_000_000_000  # rank scale: 1.0 == 10^12 (kgforge.graph.PR_SCALE)
+
+
+def _copurchase_pairs(spark, sf_dir):
+    """Distinct undirected co-purchase edges (q81's construction): parts
+    co-occurring in one order, via the co-partitioned self-equi-join on
+    l_orderkey — large-large but linear because per-order line count is
+    bounded (~4-7)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
 
 
 def _pagerank_sql() -> str:
@@ -330,50 +350,14 @@ def q88_pagerank(spark, sf_dir):
     shuffled equi-join (edges x ranks, both partitioned on the join key)
     + one partial-agg shuffle on dst — the exact pregel-on-DataFrames
     shape, no driver-side loop over rows, only over the 4 plan-building
-    iterations. Mega-hub dst keys are partial-aggregated map-side before
+    iterations. Engine capability: kgforge/graph.py::pagerank_scaled. Mega-hub dst keys are partial-aggregated map-side before
     the shuffle; AQE skew-split covers the join side."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-        .persist()
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
-        "src", "node"
-    ).persist()
-    n_nodes = deg.count()  # bounded driver-side scalar (like q82's N)
-    base = (3 * _PR_T) // (20 * n_nodes)
-    r = deg.select("node", "d", F.lit(_PR_T // n_nodes).alias("r"))
-    for _ in range(_PR_ITERS):
-        contrib = edges.join(r, edges["src"] == r["node"]).select(
-            F.col("dst").alias("cnode"), F.expr("r div d").alias("c")
-        )
-        s = contrib.groupBy("cnode").agg(F.sum("c").alias("s"))
-        r = (
-            deg.join(s, deg["node"] == s["cnode"], "left")
-            .select(
-                "node",
-                "d",
-                (
-                    F.lit(base)
-                    + F.expr("(17 * coalesce(s, 0)) div 20")
-                ).alias("r"),
-            )
-        )
-    out = r.select(
+    from kgforge.graph import pagerank_scaled
+
+    r = pagerank_scaled(_copurchase_pairs(spark, sf_dir), iters=_PR_ITERS)
+    return r.select(
         "node", F.col("d").alias("degree"), F.col("r").alias("rank_scaled")
     ).orderBy(F.col("rank_scaled").desc(), "node").limit(30)
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -426,65 +410,9 @@ def q89_triangle_count(spark, sf_dir):
     closure are shuffled equi-joins. Graph-cohesion diagnostic for the
     KG's entity graph (clustering structure of mention co-occurrence).
 
+    Engine capability: kgforge/graph.py::triangle_stats.
     Tie-break: pairs carry p1 < p2, so `da.d <= db.d` orients exactly by
     (degree, id) — deterministic. All outputs integer counts."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .distinct()
-        .persist()
-    )
-    deg = (
-        pairs.select(F.col("p1").alias("node"))
-        .unionAll(pairs.select(F.col("p2").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
-    da = deg.withColumnRenamed("node", "p1").withColumnRenamed("d", "d1")
-    db = deg.withColumnRenamed("node", "p2").withColumnRenamed("d", "d2")
-    o = (
-        pairs.join(da, "p1")
-        .join(db, "p2")
-        .select(
-            F.when(F.col("d1") <= F.col("d2"), F.col("p1"))
-            .otherwise(F.col("p2"))
-            .alias("src"),
-            F.when(F.col("d1") <= F.col("d2"), F.col("p2"))
-            .otherwise(F.col("p1"))
-            .alias("dst"),
-            F.when(F.col("d1") <= F.col("d2"), F.col("d2"))
-            .otherwise(F.col("d1"))
-            .alias("dd"),
-        )
-        .persist()
-    )
-    wa, wb = o.alias("wa"), o.alias("wb")
-    wedges = wa.join(
-        wb,
-        (F.col("wa.src") == F.col("wb.src"))
-        & (
-            (F.col("wa.dd") < F.col("wb.dd"))
-            | (
-                (F.col("wa.dd") == F.col("wb.dd"))
-                & (F.col("wa.dst") < F.col("wb.dst"))
-            )
-        ),
-    ).select(F.col("wa.dst").alias("v1"), F.col("wb.dst").alias("v2"))
-    closes = wedges.join(
-        o, (wedges["v1"] == o["src"]) & (wedges["v2"] == o["dst"])
-    )
-    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
-    n_edges = pairs.agg(F.count("*").alias("n_edges"))
-    n_wedges = wedges.agg(F.count("*").alias("n_wedges"))
-    n_tri = closes.agg(F.count("*").alias("n_triangles"))
-    return (
-        n_nodes.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(n_wedges))
-        .crossJoin(F.broadcast(n_tri))
-    )
+    from kgforge.graph import triangle_stats
+
+    return triangle_stats(_copurchase_pairs(spark, sf_dir))

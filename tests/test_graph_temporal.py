@@ -227,3 +227,46 @@ def test_no_cartesian_products_in_graph_batch(spark):
             .toString()
         )
         assert "CartesianProduct" not in plan, (name, plan[:1200])
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_deletion_neighborhood_recall_property(spark, tmp_path):
+    """Exact-recall property on a deterministic pseudo-random vocabulary:
+    n_matches must equal the brute-force count of lev<=1 pairs (the
+    blocking may overgenerate candidates, but must never miss a match)."""
+    import hashlib
+
+    names = sorted(
+        {
+            "".join(
+                "abcd"[b % 4]
+                for b in hashlib.md5(f"w{i}".encode()).digest()[: 3 + i % 4]
+            )
+            for i in range(80)
+        }
+    )
+    brute = sum(
+        1
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if _lev(names[i], names[j]) <= 1
+    )
+    assert brute > 0  # fixture must actually exercise the match path
+    _write(tmp_path, "customer", pa.table({"c_name": pa.array(names)}))
+    row = (
+        REGISTRY["q87_deletion_neighborhood_linking"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert row.n_entities == len(names)
+    assert row.n_matches == brute
+    assert row.n_candidate_pairs >= row.n_matches

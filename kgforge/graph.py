@@ -81,6 +81,92 @@ def pagerank_scaled(
     return r
 
 
+def bfs_hops(
+    pairs: DataFrame, sources: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Multi-source BFS hop distances over an undirected pair list.
+
+    ``pairs``: DataFrame[p1, p2] distinct undirected edges. ``sources``:
+    DataFrame[node] seed set. Returns DataFrame[node, dist] with the exact
+    minimum hop count (<= max_hops) from the nearest source; unreachable
+    nodes are absent. Integer distances — bit-identical across engines and
+    parallelism.
+
+    Scale shape: classic frontier BFS as pregel-on-DataFrames — per hop one
+    co-partitioned equi-join (edges x frontier), one distinct, one
+    anti-join against the settled set; the settled set is persisted and
+    grows monotonically. The driver loop runs at most ``max_hops`` rounds
+    and touches only an isEmpty() per round (early exit when the frontier
+    dries up), never row data. Web-scale graphs have small diameter, so
+    max_hops stays single-digit and each round's shuffles carry only the
+    frontier, not the graph.
+    """
+    edges = symmetrize(pairs).persist()
+    dist = sources.select("node").distinct().withColumn(
+        "dist", F.lit(0)
+    ).persist()
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        cand = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = cand.join(dist.select("node"), "node", "left_anti").select(
+            "node", F.lit(h).alias("dist")
+        ).persist()
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).persist()
+        frontier = new.select("node")
+    return dist
+
+
+def k_core(pairs: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """The k-core of an undirected pair list: the maximal subgraph in
+    which every node has degree >= k. Returns DataFrame[node, d] with d
+    the node's degree WITHIN the core.
+
+    Iterative peel: drop every node of degree < k, restrict the edge set
+    to survivors, repeat to fixpoint. The result is the standard unique
+    k-core regardless of peel order, so the output is deterministic.
+
+    Scale shape: each round is one partial-agg degree count + two
+    shuffled semi-joins restricting the edge list — all co-partitioned on
+    node id; the driver sees only the per-round survivor count (the
+    fixpoint test). Rounds are bounded by max_rounds (real graphs peel in
+    a handful of rounds; the pathological chain case is capped, matching
+    canon.connected_components' bounded-rounds contract).
+    """
+    edges = symmetrize(pairs).persist()
+    n_prev = -1
+    for _ in range(max_rounds):
+        deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select(
+            F.col("src").alias("node")
+        ).persist()
+        n_keep = keep.count()  # bounded driver-side scalar (fixpoint test)
+        if n_keep == 0:
+            return keep.select(
+                "node", F.lit(0).cast("long").alias("d")
+            ).limit(0)
+        if n_keep == n_prev:
+            break
+        n_prev = n_keep
+        edges = (
+            edges.join(keep, edges["src"] == keep["node"], "left_semi")
+            .join(
+                keep.withColumnRenamed("node", "dst_keep"),
+                F.col("dst") == F.col("dst_keep"),
+                "left_semi",
+            )
+            .persist()
+        )
+    return edges.groupBy("src").agg(F.count("*").alias("d")).select(
+        F.col("src").alias("node"), "d"
+    )
+
+
 def triangle_stats(pairs: DataFrame) -> DataFrame:
     """Global triangle/wedge/edge/node counts over an undirected pair
     list, via degree-oriented wedge closure (q89 docstring has the full

@@ -47,6 +47,13 @@ def main(argv: list[str] | None = None) -> int:
         help="shared triple-table path for incremental batches (mentions/ "
         "lineage stay under --output); defaults to <output>/triples",
     )
+    ap.add_argument(
+        "--salience", type=int, default=0, metavar="N",
+        help="after the graph phase, rank canonical entities by "
+        "scaled-integer PageRank over the co-mention graph and write the "
+        "top N to <output>/salience (deterministic, bit-identical at any "
+        "parallelism)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(master=args.master, app_name="kgforge-run-kg")
@@ -70,17 +77,42 @@ def main(argv: list[str] | None = None) -> int:
         r["pred"]: r["count"]
         for r in triples.groupBy("pred").count().collect()
     }
-    print(
-        json.dumps(
-            {
-                "triples": n,
-                "by_pred": by_pred,
-                "seconds": round(dt, 2),
-                "triples_per_sec": round(n / dt, 1),
-                "output": args.output,
-            }
+    out = {
+        "triples": n,
+        "by_pred": by_pred,
+        "seconds": round(dt, 2),
+        "triples_per_sec": round(n / dt, 1),
+        "output": args.output,
+    }
+    if args.salience:
+        from kgforge.pipeline import KGPaths, entity_salience
+
+        paths = KGPaths(
+            mentions=f"{args.output}/mentions",
+            triples=args.triples_table or f"{args.output}/triples",
+            lineage=f"{args.output}/lineage",
         )
-    )
+        sal = entity_salience(spark, paths, n_top=args.salience)
+        # top-N is bounded (<= N rows): coalesce(1) keeps the artifact one
+        # deterministic file; the heavy DAG above it stays distributed.
+        # Stats read the committed file back so the DAG runs exactly once.
+        sal.coalesce(1).write.mode("overwrite").parquet(
+            f"{args.output}/salience"
+        )
+        written = spark.read.parquet(f"{args.output}/salience")
+        top = (
+            written.orderBy(F.col("rank_scaled").desc(), "entity")
+            .limit(3)
+            .collect()
+        )
+        out["salience"] = {
+            "n_rows": written.count(),
+            "top": [
+                {"entity": r.entity, "rank_scaled": r.rank_scaled}
+                for r in top
+            ],
+        }
+    print(json.dumps(out))
     return 0
 
 

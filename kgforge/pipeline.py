@@ -148,6 +148,85 @@ def _mentions_fingerprint(spark: SparkSession, paths: KGPaths) -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
+def build_canon_map(
+    mentions: DataFrame, link_threshold: float = link.DEFAULT_THRESHOLD
+) -> DataFrame:
+    """Distinct surface forms -> canonical surface, via typed MinHash-LSH
+    linking + connected components. Shared by run_graph (triple
+    canonicalization) and entity_salience (graph vertex identity), so both
+    agree on entity boundaries. Runs over DISTINCT (entity_type,
+    norm_surface) — see run_graph's scale note."""
+    surfaces = (
+        mentions.groupBy("entity_type", "norm_surface")
+        .agg(F.min("mention_id").alias("mention_id"))
+        .select("mention_id", "entity_type", "norm_surface")
+    )
+    edges = link.typed_link_surfaces(surfaces, threshold=link_threshold)
+    assign = canon.connected_components(surfaces.select("mention_id"), edges)
+    return canon.canonical_surfaces(assign, surfaces).select(
+        "entity_type", "norm_surface", "canon_surface"
+    )
+
+
+def entity_salience(
+    spark: SparkSession,
+    paths: KGPaths,
+    iters: int = 4,
+    n_top: int = 100,
+    link_threshold: float = link.DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Canonical-entity salience: scaled-integer PageRank over the entity
+    co-mention graph (kgforge/graph.py::pagerank_scaled).
+
+    Vertices are canonical entities (post-linking, post-CC, the same
+    canon_map the triple table uses); an undirected edge joins two entities
+    mentioned in the same document. Deterministic: integer ranks, ties
+    broken by entity key, so the ranking is bit-identical at any
+    parallelism.
+
+    Scale shape: the doc->entity edge build is one distinct + one
+    co-partitioned self-equi-join on the doc key (bounded entities per
+    document, so linear like q81's co-purchase build); PageRank is
+    iters x (equi-join + partial-agg shuffle). Nothing driver-side but the
+    node count.
+    """
+    from kgforge.graph import pagerank_scaled
+    from kgforge.triples import entity_key
+
+    mentions = spark.read.parquet(paths.mentions)
+    canon_map = build_canon_map(mentions, link_threshold=link_threshold)
+    doc_ent = (
+        mentions.join(canon_map, ["entity_type", "norm_surface"])
+        .select(
+            F.concat_ws("\x1f", "repo", "path", "commit").alias("doc"),
+            entity_key(F.col("entity_type"), F.col("canon_surface")).alias(
+                "entity"
+            ),
+        )
+        .distinct()
+    )
+    a, b = doc_ent.alias("a"), doc_ent.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc") == F.col("b.doc"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .select(F.col("a.entity").alias("p1"), F.col("b.entity").alias("p2"))
+        .distinct()
+    )
+    r = pagerank_scaled(pairs, iters=iters)
+    return (
+        r.select(
+            F.col("node").alias("entity"),
+            F.col("d").alias("degree"),
+            F.col("r").alias("rank_scaled"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), "entity")
+        .limit(n_top)
+    )
+
+
 def run_graph(
     spark: SparkSession,
     paths: KGPaths,
@@ -185,18 +264,7 @@ def run_graph(
             return spark.read.parquet(paths.triples)
 
     mentions = spark.read.parquet(paths.mentions)
-
-    # vertex set: distinct surface forms, deterministic id = min(mention_id)
-    surfaces = (
-        mentions.groupBy("entity_type", "norm_surface")
-        .agg(F.min("mention_id").alias("mention_id"))
-        .select("mention_id", "entity_type", "norm_surface")
-    )
-    edges = link.typed_link_surfaces(surfaces, threshold=link_threshold)
-    assign = canon.connected_components(surfaces.select("mention_id"), edges)
-    canon_map = canon.canonical_surfaces(assign, surfaces).select(
-        "entity_type", "norm_surface", "canon_surface"
-    )
+    canon_map = build_canon_map(mentions, link_threshold=link_threshold)
 
     canonical = mentions.join(canon_map, ["entity_type", "norm_surface"])
     triples = mentions_to_triples(canonical, surface_col="canon_surface")

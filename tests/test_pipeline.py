@@ -250,3 +250,22 @@ def test_mention_id_audit_detects_collision(spark):
     collided = base.withColumn("mention_id", F.lit(7).cast("long"))
     with pytest.raises(RuntimeError, match="collision"):
         audit_mention_ids(collided)
+
+
+def test_entity_salience_deterministic_and_canonical(spark, outdir):
+    """PageRank entity salience over the co-mention graph: two evaluations
+    on the same mention table are row-identical (integer ranks, total
+    tie-break order), every entity key is a canonical '<TYPE>:<surface>'
+    form, and degrees are positive."""
+    from kgforge.pipeline import entity_salience
+
+    run_kg(spark, synth_source_files(spark, 150), outdir, n_parts=4)
+    p = _paths(outdir)
+    a = entity_salience(spark, p, n_top=20).collect()
+    b = entity_salience(spark, p, n_top=20).collect()
+    assert a == b
+    assert 0 < len(a) <= 20
+    ranks = [r.rank_scaled for r in a]
+    assert ranks == sorted(ranks, reverse=True)
+    for r in a:
+        assert ":" in r.entity and r.degree >= 1 and r.rank_scaled > 0

@@ -122,6 +122,56 @@ def bfs_hops(
     return dist
 
 
+def harmonic_centrality(
+    pairs: DataFrame, sources: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Harmonic centrality of each SOURCE node, restricted to ``max_hops``:
+    hc(s) = sum over reachable v != s of 1/dist(s, v), in scaled integers
+    (PR_SCALE/dist, floor) so the result is engine- and
+    parallelism-exact. Returns DataFrame[node, hc_scaled].
+
+    Exact per-source centrality is |S| BFS sweeps — the standard practice
+    at scale is computing it for a CANDIDATE set (e.g. the PageRank top-k,
+    the pipeline's salience output), which is what the sources argument
+    models. Each source's sweep shares one edge-list persist; per-source
+    distances come from running bfs_hops with that source tagged, here
+    folded into ONE multi-source pass per source via a source-id column.
+
+    Scale shape: identical to bfs_hops with (source, node) composite
+    frontier keys — frontier shuffles carry |S| x frontier rows; with a
+    bounded candidate set this is the same per-round cost as one BFS.
+    """
+    edges = symmetrize(pairs).persist()
+    dist = (
+        sources.select(F.col("node").alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("node"), F.lit(0).alias("dist"))
+        .persist()
+    )
+    frontier = dist.select("s", "node")
+    for h in range(1, max_hops + 1):
+        cand = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select("s", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = cand.join(
+            dist.select("s", "node"), ["s", "node"], "left_anti"
+        ).select("s", "node", F.lit(h).alias("dist")).persist()
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).persist()
+        frontier = new.select("s", "node")
+    # per-term integer floor division, then BIGINT sum: no float
+    # accumulation anywhere, so the result is order- and engine-exact
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("s")
+        .agg(F.sum(F.expr(f"{PR_SCALE} div dist")).alias("hc_scaled"))
+        .select(F.col("s").alias("node"), "hc_scaled")
+    )
+
+
 def k_core(pairs: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     """The k-core of an undirected pair list: the maximal subgraph in
     which every node has degree >= k. Returns DataFrame[node, d] with d

@@ -188,3 +188,46 @@ def test_pagerank_star_center_dominates(spark):
     assert ranks[0] > max(ranks[i] for i in range(1, 6))
     leaf_ranks = {ranks[i] for i in range(1, 6)}
     assert len(leaf_ranks) == 1  # symmetry => identical integer ranks
+
+
+def test_graph_ops_plans_have_no_cartesian(spark):
+    """Every join in the iterative BFS / k-core lineage must be an
+    equi-join (the whole-plan lineage includes every round)."""
+    pairs = _pairs_df(spark, _random_pairs(n_nodes=20, n_edges=40))
+    for df in (
+        bfs_hops(pairs, _sources_df(spark, [0]), max_hops=3),
+        k_core(pairs, 2, max_rounds=5),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "CartesianProduct" not in plan and "cartesian" not in plan, plan[:1200]
+
+
+def test_harmonic_centrality_path_golden(spark):
+    """Path 0-1-2-3: hc(1) = 1/1 + 1/1 + 1/2 (nodes 0,2 at dist 1; 3 at
+    dist 2); hc(0) = 1 + 1/2 + 1/3. Scaled-integer floor per term."""
+    from kgforge.graph import PR_SCALE, harmonic_centrality
+
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    got = {
+        r.node: r.hc_scaled
+        for r in harmonic_centrality(
+            _pairs_df(spark, pairs), _sources_df(spark, [0, 1])
+        ).collect()
+    }
+    assert got == {
+        0: PR_SCALE + PR_SCALE // 2 + PR_SCALE // 3,
+        1: 2 * PR_SCALE + PR_SCALE // 2,
+    }
+
+
+def test_harmonic_centrality_center_of_star_highest(spark):
+    from kgforge.graph import harmonic_centrality
+
+    pairs = [(0, i) for i in range(1, 6)]
+    got = {
+        r.node: r.hc_scaled
+        for r in harmonic_centrality(
+            _pairs_df(spark, pairs), _sources_df(spark, [0, 1])
+        ).collect()
+    }
+    assert got[0] > got[1]

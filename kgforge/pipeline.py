@@ -148,6 +148,12 @@ def _mentions_fingerprint(spark: SparkSession, paths: KGPaths) -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
+def _canon_map_path(paths: KGPaths) -> str:
+    """The canon-map artifact lives beside the mention table (the batch's
+    work dir), since it is derived from exactly that mention state."""
+    return paths.mentions.rstrip("/").rsplit("/", 1)[0] + "/canon_map"
+
+
 def build_canon_map(
     mentions: DataFrame, link_threshold: float = link.DEFAULT_THRESHOLD
 ) -> DataFrame:
@@ -194,7 +200,26 @@ def entity_salience(
     from kgforge.triples import entity_key
 
     mentions = spark.read.parquet(paths.mentions)
-    canon_map = build_canon_map(mentions, link_threshold=link_threshold)
+    # Reuse run_graph's committed canon_map when it was built from EXACTLY
+    # this mention-table state (same fingerprint discipline as the graph
+    # phase's resume short-circuit); otherwise rebuild. Avoids a second
+    # LSH + CC pass in the common run_kg --salience flow.
+    canon_map = None
+    try:
+        lin = spark.read.parquet(paths.lineage)
+        fresh = (
+            lin.filter(
+                (F.col("stage") == STAGE_GRAPH_INPUT)
+                & (F.col("fingerprint") == _mentions_fingerprint(spark, paths))
+            ).count()
+            > 0
+        )
+        if fresh:
+            canon_map = spark.read.parquet(_canon_map_path(paths))
+    except Exception:
+        canon_map = None
+    if canon_map is None:
+        canon_map = build_canon_map(mentions, link_threshold=link_threshold)
     doc_ent = (
         mentions.join(canon_map, ["entity_type", "norm_surface"])
         .select(
@@ -265,6 +290,15 @@ def run_graph(
 
     mentions = spark.read.parquet(paths.mentions)
     canon_map = build_canon_map(mentions, link_threshold=link_threshold)
+
+    # The canonicalization decision is itself an artifact: persist it so
+    # (a) entity resolution is auditable after the fact and (b) downstream
+    # consumers (entity_salience) reuse it instead of re-running LSH + CC
+    # over the full mention table — at 100 TB the linking pass dwarfs the
+    # map's size (distinct surfaces only). Reading it back also means the
+    # triple join consumes the committed artifact, not a recomputation.
+    canon_map.write.mode("overwrite").parquet(_canon_map_path(paths))
+    canon_map = spark.read.parquet(_canon_map_path(paths))
 
     canonical = mentions.join(canon_map, ["entity_type", "norm_surface"])
     triples = mentions_to_triples(canonical, surface_col="canon_surface")

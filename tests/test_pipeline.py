@@ -269,3 +269,24 @@ def test_entity_salience_deterministic_and_canonical(spark, outdir):
     assert ranks == sorted(ranks, reverse=True)
     for r in a:
         assert ":" in r.entity and r.degree >= 1 and r.rank_scaled > 0
+
+
+def test_canon_map_artifact_and_salience_reuse(spark, outdir):
+    """run_graph persists the canonicalization decision as <out>/canon_map;
+    entity_salience reuses it when the mention fingerprint matches and
+    falls back to rebuilding (identical result) when the artifact is
+    missing."""
+    import shutil
+
+    from kgforge.pipeline import entity_salience
+
+    run_kg(spark, synth_source_files(spark, 150), outdir, n_parts=4)
+    cmap = spark.read.parquet(f"{outdir}/canon_map")
+    assert set(cmap.columns) == {"entity_type", "norm_surface", "canon_surface"}
+    assert cmap.count() > 0
+
+    p = _paths(outdir)
+    with_artifact = entity_salience(spark, p, n_top=15).collect()
+    shutil.rmtree(f"{outdir}/canon_map")
+    rebuilt = entity_salience(spark, p, n_top=15).collect()
+    assert with_artifact == rebuilt

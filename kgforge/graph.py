@@ -128,7 +128,8 @@ def harmonic_centrality(
     """Harmonic centrality of each SOURCE node, restricted to ``max_hops``:
     hc(s) = sum over reachable v != s of 1/dist(s, v), in scaled integers
     (PR_SCALE/dist, floor) so the result is engine- and
-    parallelism-exact. Returns DataFrame[node, hc_scaled].
+    parallelism-exact. Returns DataFrame[node, hc_scaled]; a source with
+    no reachable neighbor is absent from the result (hc undefined/0).
 
     Exact per-source centrality is |S| BFS sweeps — the standard practice
     at scale is computing it for a CANDIDATE set (e.g. the PageRank top-k,

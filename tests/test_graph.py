@@ -231,3 +231,16 @@ def test_harmonic_centrality_center_of_star_highest(spark):
         ).collect()
     }
     assert got[0] > got[1]
+
+
+def test_pagerank_rank_mass_conserved(spark):
+    """Total scaled rank stays within floor-loss distance of PR_SCALE:
+    every operation floors, so mass can only leak downward, and each of
+    the 4 iterations loses < 2 units per node/edge — parts in 10^6 of the
+    10^12 scale on this fixture."""
+    from kgforge.graph import PR_SCALE
+
+    pairs = _random_pairs(n_nodes=20, n_edges=40)
+    rows = pagerank_scaled(_pairs_df(spark, pairs)).collect()
+    total = sum(r.r for r in rows)
+    assert PR_SCALE - 1_000_000 <= total <= PR_SCALE

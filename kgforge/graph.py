@@ -106,6 +106,9 @@ def bfs_hops(
         "dist", F.lit(0)
     ).persist()
     frontier = dist.select("node")
+    # Only FRONTIERS are persisted (each is materialized by its isEmpty
+    # probe); the settled set is a lazy union over them, so its final
+    # evaluation reads the cached per-hop blocks — no duplicate storage.
     for h in range(1, max_hops + 1):
         cand = (
             edges.join(frontier, edges["src"] == frontier["node"])
@@ -117,7 +120,7 @@ def bfs_hops(
         ).persist()
         if new.isEmpty():
             break
-        dist = dist.unionByName(new).persist()
+        dist = dist.unionByName(new)
         frontier = new.select("node")
     return dist
 
@@ -161,7 +164,7 @@ def harmonic_centrality(
         ).select("s", "node", F.lit(h).alias("dist")).persist()
         if new.isEmpty():
             break
-        dist = dist.unionByName(new).persist()
+        dist = dist.unionByName(new)  # lazy over persisted frontiers
         frontier = new.select("s", "node")
     # per-term integer floor division, then BIGINT sum: no float
     # accumulation anywhere, so the result is order- and engine-exact
@@ -191,12 +194,21 @@ def k_core(pairs: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     """
     edges = symmetrize(pairs).persist()
     n_prev = -1
+    prev_edges = prev_keep = None
     for _ in range(max_rounds):
         deg = edges.groupBy("src").agg(F.count("*").alias("d"))
         keep = deg.filter(F.col("d") >= k).select(
             F.col("src").alias("node")
         ).persist()
         n_keep = keep.count()  # bounded driver-side scalar (fixpoint test)
+        # this count materialized the CURRENT edges; the previous round's
+        # cached state can no longer be read by anything — release it so
+        # a deep peel (rounds up to max_rounds) holds 2 generations, not
+        # all of them, in executor storage
+        if prev_edges is not None:
+            prev_edges.unpersist()
+        if prev_keep is not None:
+            prev_keep.unpersist()
         if n_keep == 0:
             return keep.select(
                 "node", F.lit(0).cast("long").alias("d")
@@ -204,6 +216,7 @@ def k_core(pairs: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         if n_keep == n_prev:
             break
         n_prev = n_keep
+        prev_edges, prev_keep = edges, keep
         edges = (
             edges.join(keep, edges["src"] == keep["node"], "left_semi")
             .join(

@@ -81,6 +81,73 @@ def pagerank_scaled(
     return r
 
 
+def personalized_pagerank_scaled(
+    pairs: DataFrame,
+    sources: DataFrame,
+    iters: int = 4,
+    damping: tuple[int, int] = (17, 20),
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the SOURCE set
+    instead of uniformly — the standard "related entities" primitive over
+    a KG (rank everything by relevance to a query/seed entity set).
+
+    ``sources``: DataFrame[node]; seeds absent from the edge list are
+    ignored (an isolated seed has no outgoing mass). Returns
+    DataFrame[node, d, r], r scaled by PR_SCALE.
+
+    Recurrence (all BIGINT floor arithmetic, bit-exact like
+    pagerank_scaled):
+        r0(v)  = T // |S|           if v in S else 0
+        r'(v)  = [v in S] * (den-num)*T // (den*|S|)
+                 + num * sum_{u->v}(r(u) div d(u)) div den
+
+    Scale shape identical to pagerank_scaled — the seed membership flag
+    rides the rank relation as a 0/1 column, so each iteration is still
+    one co-partitioned equi-join + one partial-agg shuffle.
+    """
+    num, den = damping
+    edges = symmetrize(pairs).persist()
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .withColumnRenamed("src", "node")
+    )
+    marked = deg.join(
+        sources.select("node").distinct().withColumn("is_src", F.lit(1)),
+        "node",
+        "left",
+    ).select(
+        "node", "d", F.coalesce(F.col("is_src"), F.lit(0)).alias("is_src")
+    ).persist()
+    n_src = marked.filter(F.col("is_src") == 1).count()
+    if n_src == 0:
+        return marked.select(
+            "node", "d", F.lit(0).cast("long").alias("r")
+        ).limit(0)
+    base = ((den - num) * PR_SCALE) // (den * n_src)
+    r = marked.select(
+        "node",
+        "d",
+        "is_src",
+        (F.col("is_src") * F.lit(PR_SCALE // n_src)).cast("long").alias("r"),
+    )
+    for _ in range(iters):
+        contrib = edges.join(r, edges["src"] == r["node"]).select(
+            F.col("dst").alias("cnode"), F.expr("r div d").alias("c")
+        )
+        s = contrib.groupBy("cnode").agg(F.sum("c").alias("s"))
+        r = marked.join(s, marked["node"] == s["cnode"], "left").select(
+            "node",
+            "d",
+            "is_src",
+            (
+                F.col("is_src") * F.lit(base)
+                + F.expr(f"({num} * coalesce(s, 0)) div {den}")
+            ).cast("long").alias("r"),
+        )
+    return r.select("node", "d", "r")
+
+
 def bfs_hops(
     pairs: DataFrame, sources: DataFrame, max_hops: int = 8
 ) -> DataFrame:

@@ -244,3 +244,74 @@ def test_pagerank_rank_mass_conserved(spark):
     rows = pagerank_scaled(_pairs_df(spark, pairs)).collect()
     total = sum(r.r for r in rows)
     assert PR_SCALE - 1_000_000 <= total <= PR_SCALE
+
+
+def _ppr_python(pairs, sources, iters=4, num=17, den=20):
+    """Bit-exact Python mirror of personalized_pagerank_scaled's integer
+    recurrence (same floor arithmetic, same order-free sums)."""
+    import collections
+
+    from kgforge.graph import PR_SCALE
+
+    adj = collections.defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    nodes = sorted(adj)
+    S = [s for s in sources if s in adj]
+    base = ((den - num) * PR_SCALE) // (den * len(S))
+    r = {v: (PR_SCALE // len(S) if v in S else 0) for v in nodes}
+    for _ in range(iters):
+        s = collections.defaultdict(int)
+        for u in nodes:
+            c = r[u] // len(adj[u])
+            for v in adj[u]:
+                s[v] += c
+        r = {
+            v: (base if v in S else 0) + (num * s[v]) // den for v in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_python_mirror(spark):
+    """Every node's scaled rank equals the exact Python reimplementation
+    of the integer recurrence — bit-for-bit (the determinism claim)."""
+    from kgforge.graph import personalized_pagerank_scaled
+
+    pairs = _random_pairs(n_nodes=25, n_edges=55)
+    sources = [0, 3, 7]
+    got = {
+        r.node: r.r
+        for r in personalized_pagerank_scaled(
+            _pairs_df(spark, pairs), _sources_df(spark, sources)
+        ).collect()
+    }
+    assert got == _ppr_python(pairs, sources)
+
+
+def test_personalized_pagerank_locality(spark):
+    """On a path with one seed, rank decays with distance WITHIN each
+    parity class (undirected walks oscillate between parities on a path),
+    and a node farther than `iters` hops has exactly zero mass."""
+    from kgforge.graph import personalized_pagerank_scaled
+
+    pairs = [(i, i + 1) for i in range(5)]
+    got = {
+        r.node: r.r
+        for r in personalized_pagerank_scaled(
+            _pairs_df(spark, pairs), _sources_df(spark, [0])
+        ).collect()
+    }
+    assert got[0] > got[2] > got[4]
+    assert got[1] > got[3] > got[5]
+    assert got[5] == 0  # 5 hops away, 4 iterations
+
+
+def test_personalized_pagerank_no_graph_seeds_empty(spark):
+    from kgforge.graph import personalized_pagerank_scaled
+
+    pairs = [(0, 1)]
+    out = personalized_pagerank_scaled(
+        _pairs_df(spark, pairs), _sources_df(spark, [99])
+    )
+    assert out.count() == 0

@@ -171,11 +171,16 @@ def bfs_hops(
     edges = symmetrize(pairs).persist()
     dist = sources.select("node").distinct().withColumn(
         "dist", F.lit(0)
-    ).persist()
+    ).localCheckpoint(eager=True)
     frontier = dist.select("node")
-    # Only FRONTIERS are persisted (each is materialized by its isEmpty
-    # probe); the settled set is a lazy union over them, so its final
-    # evaluation reads the cached per-hop blocks — no duplicate storage.
+    # Each hop's frontier is localCheckpoint'ed (eager): this both
+    # materializes it (the isEmpty probe reads the stored blocks) and CUTS
+    # LINEAGE — without the cut, hop h's logical plan contains hop h-1's
+    # plan twice (frontier side + settled-set anti-join side), doubling
+    # per hop until plan construction itself OOMs around depth 8 on a
+    # real graph (persist caches rows but leaves the plan tree intact).
+    # At cluster scale swap in df.checkpoint() for executor-loss-tolerant
+    # truncation, as canon.connected_components does.
     for h in range(1, max_hops + 1):
         cand = (
             edges.join(frontier, edges["src"] == frontier["node"])
@@ -184,7 +189,7 @@ def bfs_hops(
         )
         new = cand.join(dist.select("node"), "node", "left_anti").select(
             "node", F.lit(h).alias("dist")
-        ).persist()
+        ).localCheckpoint(eager=True)
         if new.isEmpty():
             break
         dist = dist.unionByName(new)
@@ -217,9 +222,11 @@ def harmonic_centrality(
         sources.select(F.col("node").alias("s"))
         .distinct()
         .select("s", F.col("s").alias("node"), F.lit(0).alias("dist"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     frontier = dist.select("s", "node")
+    # per-hop localCheckpoint: materialize + cut lineage (see bfs_hops —
+    # the settled-set anti-join otherwise doubles the plan tree per hop)
     for h in range(1, max_hops + 1):
         cand = (
             edges.join(frontier, edges["src"] == frontier["node"])
@@ -228,10 +235,12 @@ def harmonic_centrality(
         )
         new = cand.join(
             dist.select("s", "node"), ["s", "node"], "left_anti"
-        ).select("s", "node", F.lit(h).alias("dist")).persist()
+        ).select("s", "node", F.lit(h).alias("dist")).localCheckpoint(
+            eager=True
+        )
         if new.isEmpty():
             break
-        dist = dist.unionByName(new)  # lazy over persisted frontiers
+        dist = dist.unionByName(new)  # union over checkpointed frontiers
         frontier = new.select("s", "node")
     # per-term integer floor division, then BIGINT sum: no float
     # accumulation anywhere, so the result is order- and engine-exact

@@ -61,6 +61,28 @@ def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:
     return header + img.tobytes()
 
 
+# Decode envelope (VERDICT r5 #5): the stdlib codecs here are DESIGNED for
+# thumbnail/fixture-scale media — the JPEG huffman reader is per-bit Python
+# and PNG Paeth is per-pixel. Inside the envelope they are fast enough for
+# the mapInPandas batch loop; a photo-scale input would not fail, it would
+# CRAWL, silently degrading one executor for minutes. The guard turns that
+# into the same named-skip ValueError every other unsupported input takes
+# (skip-on-error upstream), telling the operator which production codec
+# (libjpeg-turbo / libpng) plugs in at the decode_real seam for real
+# photo volumes.
+MAX_DECODE_PX = 64  # per side
+MAX_DECODE_BYTES = 64 * 1024
+
+
+def _guard_envelope(width: int, height: int, codec: str) -> None:
+    if width > MAX_DECODE_PX or height > MAX_DECODE_PX:
+        raise ValueError(
+            f"{codec} {width}x{height} exceeds the {MAX_DECODE_PX}px pure-"
+            f"Python decode envelope: route photo-scale media through "
+            f"libjpeg-turbo/libpng at the decode_real seam"
+        )
+
+
 def decode_ppm(blob: bytes) -> np.ndarray:
     """P6 -> (h, w, 3) uint8. Real parser: magic, whitespace/comment-
     tolerant header, maxval 255, raw pixel payload."""
@@ -85,6 +107,7 @@ def decode_ppm(blob: bytes) -> np.ndarray:
     width, height, maxval = (int(t) for t in tokens)
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
+    _guard_envelope(width, height, "PPM")
     n = width * height * 3
     pix = np.frombuffer(blob, dtype=np.uint8, count=n, offset=i)
     return pix.reshape(height, width, 3)
@@ -222,6 +245,8 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG depth/compression ({depth},{comp})")
     if interlace != 0:
         raise ValueError("interlaced PNG (Adam7) not supported")
+    # before the zlib.decompress + per-row filter pass, not after
+    _guard_envelope(w, h, "PNG")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color}")
@@ -711,6 +736,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             prec, ih, iw, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
+            # before any entropy decode (the per-bit huffman path)
+            _guard_envelope(iw, ih, "JPEG")
             comps = []
             for i in range(nc):
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
@@ -819,6 +846,21 @@ def _decode_scan(blob, pos, sof, qt, huff, scan_tables, restart_interval):
 def decode_real(blob: bytes) -> dict:
     """Magic-byte dispatch to a REAL decoder; unsupported containers name
     the codec that would plug in (same dispatch shape)."""
+    is_image = (
+        blob.startswith(b"P6")
+        or blob[:8] == b"\x89PNG\r\n\x1a\n"
+        or blob[:3] == b"\xff\xd8\xff"
+    )
+    # byte-size envelope BEFORE any parsing: a photo-scale blob must skip
+    # with a named reason, never reach the per-bit/per-pixel Python paths
+    # (the dimension guards inside each decoder cover small-but-wide
+    # headers; this covers everything else, e.g. a giant IDAT)
+    if is_image and len(blob) > MAX_DECODE_BYTES:
+        raise ValueError(
+            f"image blob {len(blob)} bytes exceeds the {MAX_DECODE_BYTES}-"
+            f"byte pure-Python decode envelope: route photo-scale media "
+            f"through libjpeg-turbo/libpng at the decode_real seam"
+        )
     if blob.startswith(b"P6") or blob[:8] == b"\x89PNG\r\n\x1a\n":
         is_png = blob[:1] == b"\x89"
         if is_png:

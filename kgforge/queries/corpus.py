@@ -944,6 +944,12 @@ def q63_unpivot_metrics(spark, sf_dir):
     )
 
 
+# LOCF bucket width (days): small enough that the test spine (~60-400
+# days) actually exercises the cross-bucket carry, large enough that the
+# bucket-summary relation stays tiny relative to the spine
+_LOCF_BUCKET_DAYS = 8
+
+
 @q(
     "q64_gap_fill_locf",
     """
@@ -976,12 +982,28 @@ def q64_gap_fill_locf(spark, sf_dir):
     """Time-series gap fill: a generated date spine (sequence + explode —
     never a driver-side loop) cross-joined with the dimension, left-joined
     to sparse daily aggregates (value > 200 keeps 30-90% of cells empty at
-    test scales), then last-observation-carried-forward via
-    last(ignorenulls) over an ordered window. Scale shape: the spine is
-    tiny (days x types) and BROADCAST; the fact side sees one agg shuffle
-    and the LOCF window partitions by series key — embarrassingly parallel
-    across series. Leading gaps before a series' first observation stay
-    NULL in both engines."""
+    test scales), then last-observation-carried-forward.
+
+    LOCF runs BUCKETED (VERDICT r5 #6 — r3/r4 used one unbounded-preceding
+    window per series, which serializes a long series into a single task):
+
+      1. within-bucket pass: last(ignorenulls) over (series, bucket) —
+         buckets of _LOCF_BUCKET_DAYS days, so every window task is
+         bounded and series parallelize across buckets;
+      2. bucket summary: per (series, bucket) the latest observed value
+         (max_by over non-null days — null-keyed rows are skipped);
+      3. cross-bucket carry: the same LOCF recurrence over the SUMMARY
+         relation (one row per bucket, 10^4-10^5x smaller), shifted one
+         bucket back (unboundedPreceding..-1);
+      4. final value = coalesce(within-bucket, carry-in).
+
+    Identical semantics to the single-window form (the oracle is
+    unchanged); the only serial scan left is over bucket summaries — at
+    10^9-point series with 4096-day buckets that is ~10^5 rows, and the
+    construction recurses if ever needed. Scale shape otherwise as
+    before: tiny broadcast spine, one agg shuffle on the fact side.
+    Leading gaps before a series' first observation stay NULL in both
+    engines."""
     e = t(spark, sf_dir, "events")
     daily = (
         e.filter(F.col("value") > 200)
@@ -997,19 +1019,40 @@ def q64_gap_fill_locf(spark, sf_dir):
     days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
     types = e.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(days))
-    filled = spine.join(daily, ["event_type", "day"], "left")
-    w = (
-        Window.partitionBy("event_type")
+    filled = spine.join(daily, ["event_type", "day"], "left").withColumn(
+        "bucket", F.floor(F.unix_date("day") / F.lit(_LOCF_BUCKET_DAYS))
+    )
+    w_in = (
+        Window.partitionBy("event_type", "bucket")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    within = filled.withColumn(
+        "locf_in", F.last("daily_value", ignorenulls=True).over(w_in)
+    )
+    blast = filled.groupBy("event_type", "bucket").agg(
+        # latest observed value in the bucket; rows with no observation
+        # carry a NULL ordering key, which max_by skips
+        F.max_by(
+            "daily_value",
+            F.when(F.col("daily_value").isNotNull(), F.col("day")),
+        ).alias("blast")
+    )
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = blast.withColumn(
+        "carry_in", F.last("blast", ignorenulls=True).over(w_carry)
+    ).select("event_type", "bucket", "carry_in")
     # day emitted as yyyy-MM-dd string: the cross-engine comparator
     # stringifies DATE and TIMESTAMP differently
-    return filled.select(
+    return within.join(carry, ["event_type", "bucket"], "left").select(
         "event_type",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        F.last("daily_value", ignorenulls=True).over(w).alias("locf_value"),
+        F.coalesce("locf_in", "carry_in").alias("locf_value"),
     )
 
 

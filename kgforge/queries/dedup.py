@@ -258,7 +258,7 @@ def q24_simhash(spark, sf_dir):
     )
 
 
-@q("q41_simhash64_fast", None)
+@q("q41_simhash64_fast", None, driver=False)
 def q41_simhash64_fast(spark, sf_dir):
     """Scale-path SimHash (64-bit, one xxhash64 per token, materialized
     hash array + scalar folds) — the production twin of q24; rows-only
@@ -274,7 +274,7 @@ def q41_simhash64_fast(spark, sf_dir):
     )
 
 
-@q("q55_simhash16_fast", None)
+@q("q55_simhash16_fast", None, driver=False)
 def q55_simhash16_fast(spark, sf_dir):
     """Same-WIDTH hash A/B twin of q24 (VERDICT r2 next-round #9): 16-bit
     SimHash with the xxhash64-materialized shape, so q24 (md5 inline, 16
@@ -323,6 +323,11 @@ def q45_stratified_sample(spark, sf_dir):
 
 @q(
     "q46_sequence_packing",
+    # driver=False since r6: the per-lang window here is the UNSHARDED
+    # teaching shape; q50_sequence_packing_sharded is the same operator in
+    # its scale shape with its own hash gate, so this rotation slot was
+    # re-spent on the hash-gated graph queries q97-q99 (VERDICT r5 #3/#4).
+    # Stays callable (tests/plan docs reference its oracle-twin shape).
     """
     WITH sized AS (
         SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
@@ -342,6 +347,7 @@ def q45_stratified_sample(spark, sf_dir):
            round(avg(n_docs), 4) AS avg_docs_per_pack
     FROM packs GROUP BY lang
     """,
+    driver=False,
 )
 def q46_sequence_packing(spark, sf_dir):
     """Sequence packing (context-window assembly for LLM training): docs

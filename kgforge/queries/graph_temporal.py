@@ -416,3 +416,248 @@ def q89_triangle_count(spark, sf_dir):
     from kgforge.graph import triangle_stats
 
     return triangle_stats(_copurchase_pairs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q97-q99 (new r6, VERDICT r5 #3/#4): hash-gated BFS, k-core, personalized
+# PageRank — the three graph capabilities that were pytest-only in r5 get
+# full driver gates, on the rotation slots freed by demoting q41/q55/q95
+# to bench-only (see queries/core.py DEMOTED).
+# ---------------------------------------------------------------------------
+
+# The raw co-purchase graph (q88/q89) is near-complete at test scale (min
+# degree 42 at sf0.01): BFS reaches everything in 2 hops and no k-core
+# peels, so it cannot distinguish a correct traversal from a broken one.
+# Thresholding to pairs co-occurring in >= 2 DISTINCT orders yields a
+# sparse graph with real structure (sf0.01: 1,880 nodes / 3,445 edges,
+# BFS depths 0-7 with 20 unreachable nodes, k=3 core of 935 nodes after a
+# 10-round peel) — the same "repeated co-mention" edge a KG keeps after
+# noise-thresholding one-off co-occurrences.
+
+_PAIRS2_SQL = """pairs AS (
+        SELECT p1, p2 FROM (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   count(DISTINCT a.l_orderkey) AS c
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ) WHERE c >= 2
+    ), edges AS (
+        SELECT p1 AS src, p2 AS dst FROM pairs
+        UNION ALL SELECT p2, p1 FROM pairs
+    )"""
+
+
+def _copurchase2_pairs(spark, sf_dir):
+    """Distinct undirected co-purchase edges supported by >= 2 distinct
+    orders (the _PAIRS2_SQL construction): the noise-thresholded mention
+    graph. Same co-partitioned self-equi-join as q88's builder plus one
+    partial-agg shuffle for the distinct-order count."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+
+
+def _graph_seeds(pairs):
+    """Deterministic seed set: graph nodes whose id % 50 == 0 (spread,
+    engine-independent, nonempty at every test sf)."""
+    nodes = pairs.select(F.col("p1").alias("node")).unionAll(
+        pairs.select(F.col("p2").alias("node"))
+    ).distinct()
+    return nodes.filter(F.col("node") % 50 == 0)
+
+
+_BFS_MAX_HOPS = 8
+
+_BFS_SQL = f"""
+    WITH RECURSIVE {_PAIRS2_SQL},
+    seeds AS (
+        SELECT DISTINCT src AS node FROM edges WHERE src % 50 = 0
+    ),
+    walk(node, dist) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, w.dist + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.dist < {_BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(min(dist) AS INT) AS dist
+    FROM walk GROUP BY node
+    ORDER BY node
+    """
+
+
+@q("q97_bfs_hops", _BFS_SQL)
+def q97_bfs_hops(spark, sf_dir):
+    """Multi-source BFS hop distances over the thresholded co-purchase
+    graph — "how far is every entity from the seed set", the reachability
+    primitive under neighborhood expansion / blast-radius queries on a KG.
+    Exact integer distances, so the DuckDB recursive-CTE oracle (UNION
+    recursion: each (node, dist) pair is produced once, bounded by
+    |V| x max_hops rows — never the UNION ALL walk-enumeration blow-up)
+    matches bit-for-bit.
+
+    Scale shape (kgforge/graph.py::bfs_hops): per hop one co-partitioned
+    equi-join edges x frontier + distinct + anti-join against the settled
+    set; shuffles carry only the frontier. Driver sees one isEmpty() per
+    hop. max_hops=8 bounds the sweep (web-scale graphs: small diameter)."""
+    from kgforge.graph import bfs_hops
+
+    pairs = _copurchase2_pairs(spark, sf_dir).persist()
+    dist = bfs_hops(pairs, _graph_seeds(pairs), max_hops=_BFS_MAX_HOPS)
+    return dist.select(
+        "node", F.col("dist").cast("int").alias("dist")
+    ).orderBy("node")
+
+
+_KCORE_K = 3
+# Unrolled peel depth for the oracle: sf0.01 reaches its k=3 fixpoint in
+# 10 synchronous rounds (sf0.001 in 0); 14 leaves margin. Extra rounds
+# past the fixpoint are no-ops (nothing left under degree k), so the
+# unrolled oracle equals Spark's early-exit fixpoint whenever the peel
+# converges within the unroll — test_registry's gate would catch a
+# dataset where it doesn't.
+_KCORE_ROUNDS = 14
+
+
+def _kcore_sql() -> str:
+    """Chained-CTE synchronous k-core peel: each round recomputes degrees,
+    keeps nodes with degree >= k, and restricts the edge list — the same
+    synchronous peel kgforge.graph.k_core runs, so the unique-fixpoint
+    result is identical."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs at every reference, so a
+    # 14-round chain whose every round references the previous one 3x
+    # (edge list + two semi-join sides) would expand to 3^14 scans of the
+    # base table ("Too many open files" long before any row moves).
+    # Materializing each round keeps the oracle plan linear in rounds —
+    # the SQL analogue of k_core's per-round persist.
+    ctes = [
+        _PAIRS2_SQL.replace("pairs AS", "pairs AS MATERIALIZED").replace(
+            "edges AS", "e0 AS MATERIALIZED"
+        )
+    ]
+    for i in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+        SELECT src AS node FROM e{i} GROUP BY src
+        HAVING count(*) >= {_KCORE_K}
+    )"""
+        )
+        ctes.append(
+            f"""e{i + 1} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e{i} e
+        JOIN k{i} a ON e.src = a.node
+        JOIN k{i} b ON e.dst = b.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT src AS node, count(*) AS d
+    FROM e{_KCORE_ROUNDS}
+    GROUP BY src
+    ORDER BY node
+    """
+    )
+
+
+@q("q98_kcore", _kcore_sql())
+def q98_kcore(spark, sf_dir):
+    """k-core decomposition (k=3) of the thresholded co-purchase graph:
+    the maximal subgraph where every node keeps >= 3 thresholded co-mention
+    partners — the standard dense-cohesion filter a KG applies before
+    community/centrality passes (peel the fringe, keep the backbone).
+    Returns every core member with its within-core degree; the k-core is
+    unique regardless of peel order, and degrees are integers, so the
+    unrolled chained-CTE oracle is bit-exact.
+
+    Scale shape (kgforge/graph.py::k_core): per round one partial-agg
+    degree count + two co-partitioned semi-joins; holds 2 cached
+    generations, not all; driver sees only the survivor count (fixpoint
+    test). sf0.01 peels 10 rounds to a 935-node core."""
+    from kgforge.graph import k_core
+
+    core = k_core(_copurchase2_pairs(spark, sf_dir), k=_KCORE_K)
+    return core.select("node", "d").orderBy("node")
+
+
+def _ppr_sql() -> str:
+    """Chained-CTE personalized PageRank oracle (q88's construction plus a
+    seed CTE): BIGINT floor arithmetic throughout, bit-exact."""
+    num, den, iters = 17, 20, _PR_ITERS
+    ctes = [
+        _PAIRS2_SQL,
+        """deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src)""",
+        """marked AS (
+        SELECT node, d,
+               CASE WHEN node % 50 = 0 THEN 1 ELSE 0 END AS is_src
+        FROM deg
+    )""",
+        """ns AS (SELECT CAST(sum(is_src) AS BIGINT) AS n_src FROM marked)""",
+        f"""r0 AS (
+        SELECT node, d, is_src,
+               CAST(is_src * ({_PR_T} // n_src) AS BIGINT) AS r
+        FROM marked, ns
+    )""",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""r{k + 1} AS (
+        SELECT m.node, m.d, m.is_src,
+               CAST(m.is_src * ({(den - num) * _PR_T} // ({den} * (SELECT n_src FROM ns)))
+                    + ({num} * COALESCE(s.c, 0)) // {den} AS BIGINT) AS r
+        FROM marked m LEFT JOIN (
+            SELECT e.dst AS node, CAST(sum(r{k}.r // r{k}.d) AS BIGINT) AS c
+            FROM edges e JOIN r{k} ON e.src = r{k}.node
+            GROUP BY e.dst
+        ) s ON m.node = s.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, d AS degree, r AS rank_scaled
+    FROM r{iters}
+    ORDER BY rank_scaled DESC, node
+    LIMIT 30
+    """
+    )
+
+
+@q("q99_personalized_pagerank", _ppr_sql())
+def q99_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from the seed set — "entities most related to
+    these seeds", the KG relevance-ranking primitive (teleport mass returns
+    to the seeds instead of uniformly, so rank decays with graph distance
+    from them). 4 iterations, damping 17/20, ranks in scaled integers
+    (1.0 == 10^12) with floor `div` — bit-identical to the chained-CTE
+    DuckDB oracle, upgrading r5's Python-mirror pytest gate (VERDICT r5
+    #4) to a full driver HASH gate.
+
+    Scale shape identical to q88 (kgforge/graph.py::
+    personalized_pagerank_scaled): the seed flag rides the rank relation
+    as a 0/1 column; per iteration one co-partitioned equi-join + one
+    partial-agg shuffle on dst; edges/marked persisted once."""
+    from kgforge.graph import personalized_pagerank_scaled
+
+    pairs = _copurchase2_pairs(spark, sf_dir).persist()
+    r = personalized_pagerank_scaled(
+        pairs, _graph_seeds(pairs), iters=_PR_ITERS
+    )
+    return r.select(
+        "node", F.col("d").alias("degree"), F.col("r").alias("rank_scaled")
+    ).orderBy(F.col("rank_scaled").desc(), "node").limit(30)

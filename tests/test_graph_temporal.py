@@ -270,3 +270,53 @@ def test_deletion_neighborhood_recall_property(spark, tmp_path):
     assert row.n_entities == len(names)
     assert row.n_matches == brute
     assert row.n_candidate_pairs >= row.n_matches
+
+
+def test_q98_kcore_oracle_unroll_margin():
+    """q98's DuckDB oracle unrolls _KCORE_ROUNDS peel rounds; it equals
+    Spark's run-to-fixpoint k_core ONLY if the peel converges within the
+    unroll (extra rounds past the fixpoint are no-ops). Pin that margin
+    against the actual test tables at both driver scales — if testdata
+    ever changes shape, this fails before the driver gate does.
+    Pure DuckDB + Python (no Spark): the synchronous peel is tiny here."""
+    import collections
+
+    import duckdb
+
+    from kgforge.queries.graph_temporal import _KCORE_K, _KCORE_ROUNDS
+
+    for sf in ("0.001", "0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf{sf}/lineitem.parquet')"
+        )
+        edges = con.execute(
+            """
+            SELECT p1, p2 FROM (
+                SELECT a.l_partkey p1, b.l_partkey p2,
+                       count(DISTINCT a.l_orderkey) c
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2) WHERE c >= 2
+            """
+        ).fetchall()
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        rounds = 0
+        while True:
+            drop = [n for n, s in adj.items() if len(s) < _KCORE_K]
+            if not drop:
+                break
+            rounds += 1
+            for n in drop:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+        # >=2 rounds of slack between observed fixpoint and the unroll
+        assert rounds <= _KCORE_ROUNDS - 2, (sf, rounds, _KCORE_ROUNDS)
+        if sf == "0.01":
+            assert adj, "sf0.01 core must be nonempty for a meaningful gate"

@@ -412,3 +412,64 @@ def test_zip_sink_separator_keys_do_not_collide(spark, tmp_path):
     assert len(files) == 2 and manifest["a_b"].file == "a_b.zip"
     assert manifest["a/b"].file != "a_b.zip"
     assert {manifest["a/b"].file, manifest["a_b"].file} == set(files)
+
+
+def test_decode_envelope_rejects_photo_scale_inputs(spark):
+    """VERDICT r5 #5: the pure-Python codecs must never CRAWL on a
+    photo-scale input — an oversized image skips with a ValueError naming
+    the envelope and the production codec, at header-parse time (before
+    any pixel work) for each container, and at blob size before any
+    parsing at all."""
+    import pytest as _pytest
+
+    from kgforge.multimodal import (
+        MAX_DECODE_BYTES,
+        MAX_DECODE_PX,
+        decode_real,
+        extract_media_features,
+    )
+
+    # PPM: oversized header, tiny payload — caught before frombuffer
+    big_ppm = b"P6\n%d %d\n255\n" % (MAX_DECODE_PX + 1, 4) + b"\x00" * 12
+    with _pytest.raises(ValueError, match="envelope"):
+        decode_real(big_ppm)
+
+    # PNG: oversized IHDR — caught before zlib/filter work. Hand-build the
+    # header (encode_png would materialize the oversized pixels).
+    import struct
+    import zlib as _zlib
+
+    ihdr = struct.pack(">IIBBBBB", 9, MAX_DECODE_PX + 1, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + chunk
+        + struct.pack(">I", _zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(ValueError, match="envelope"):
+        decode_real(png)
+
+    # JPEG: oversized SOF0 — caught before the per-bit huffman reader
+    sof_payload = struct.pack(">BHHB", 8, MAX_DECODE_PX + 1, 8, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", len(sof_payload) + 2) + sof_payload
+    )
+    with _pytest.raises(ValueError, match="envelope"):
+        decode_real(jpg)
+
+    # blob-size envelope: giant payload rejected before any parsing
+    with _pytest.raises(ValueError, match="envelope"):
+        decode_real(b"P6\n4 4\n255\n" + b"\x00" * (MAX_DECODE_BYTES + 1))
+
+    # in-envelope media still decode (guard is not over-broad)
+    assert decode_real(encode_ppm(16, 12, seed=1))["kind"] == "image/ppm"
+
+    # end-to-end: oversized blob among good ones skips, others survive
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(8, 8, seed=2))), (2, bytearray(big_ppm))],
+        "doc_id long, payload binary",
+    )
+    assert {r.doc_id for r in extract_media_features(df).collect()} == {1}

@@ -308,3 +308,27 @@ def test_packing_window_is_sharded_not_per_lang(spark):
     pplan = packed._jdf.queryExecution().executedPlan().toString()
     pwin = [ln for ln in pplan.splitlines() if "Window" in ln and "lang" in ln]
     assert pwin and all("shard" in ln for ln in pwin), pwin
+
+
+def test_locf_windows_are_bucketed_not_per_series(spark):
+    """VERDICT r5 #6: q64's LOCF must never run one unbounded-preceding
+    window over a whole series (a long series would serialize into a
+    single task). The plan must show the heavy window partitioned by
+    (series, bucket); the only series-wide window allowed is the one over
+    the tiny bucket-summary relation."""
+    import re
+
+    from kgforge.queries import REGISTRY
+
+    df = REGISTRY["q64_gap_fill_locf"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = re.findall(r"Window \[.*", plan)
+    assert windows, plan[:1500]
+    in_bucket = [w for w in windows if "bucket" in w and "day" in w]
+    # the within-bucket pass exists and is bucket-partitioned
+    assert any("event_type" in w and "bucket" in w for w in in_bucket), windows
+    # no window orders the full series by day without a bucket key
+    per_series = [
+        w for w in windows if "day" in w and "bucket" not in w
+    ]
+    assert not per_series, per_series

@@ -25,7 +25,24 @@ def test_registry_counts_match_docs():
     different query counts. The documented split lives HERE, once; update
     this test and all three docs together when adding queries."""
     oracle = sum(1 for qd in REGISTRY.values() if qd.sql is not None)
-    assert (len(REGISTRY), oracle) == (96, 83), (len(REGISTRY), oracle)
+    assert (len(REGISTRY), oracle) == (96, 85), (len(REGISTRY), oracle)
+
+
+def test_demoted_queries_stay_callable():
+    """r6 demoted q41/q55/q46 to bench-only (DEMOTED): they must stay out
+    of the driver registry (no rotation slot) but remain addressable for
+    bench.py's A/B legs; their operator families keep driver gates via
+    q24 (SimHash oracle twin) and q50 (sharded packing)."""
+    from kgforge.queries.core import DEMOTED
+
+    assert set(DEMOTED) == {
+        "q41_simhash64_fast",
+        "q55_simhash16_fast",
+        "q46_sequence_packing",
+    }
+    assert not set(DEMOTED) & set(REGISTRY)
+    for qd in DEMOTED.values():
+        assert callable(qd.fn)
 
 
 def test_pinned_queries_lead_the_registry():

@@ -16,9 +16,12 @@ Methodology (BENCH/BASELINE.md §2):
   warmup is reported separately under queries_cold so regressions in either
   are visible (VERDICT r1 item 10);
 - KG throughput: run_kg over a pre-materialized seeded synthetic corpus,
-  MEDIAN of 3 spread runs with a weather covariate recorded per run
-  (single-shot wall time on this shared VM swings up to 6x with host
-  weather; best-of-2 max-picking was VERDICT r3's weakest number);
+  PROBE-GATED median of 3+ spread runs (protocol v6, VERDICT r5 #1): each
+  run's in-JVM stall probe must sit within 1.5x the session minimum to
+  enter the median; flagged runs stay in the artifact and the budget buys
+  up to two replacements (single-shot wall time on this shared VM swings
+  up to 6x with host weather; best-of-2 max-picking was VERDICT r3's
+  weakest number, and r5's un-gated median was still a weather sample);
 - query section: the same engine-free weather covariate sampled before
   and after (queries_weather_gbps), so warm-timing drift is attributable
   inside one artifact;
@@ -58,6 +61,12 @@ CORPUS = f"/tmp/kgforge_bench_corpus_{KG_FILES}"
 # throughput collapse) moves it far outside noise, short enough to be free.
 PROBE_FILES = int(os.environ.get("KGFORGE_PROBE_FILES", "40000"))
 PROBE_CORPUS = f"/tmp/kgforge_probe_corpus_{PROBE_FILES}"
+# Leg stall-probe corpus (protocol v6, VERDICT r5 #2): smaller than the
+# KG probe corpus because the primary pair's lo leg runs 1 task slot —
+# a probe must stay a few seconds there (20k files / 32 parts ≈ 2-5 s at
+# local[2], ~1 s at local[32]) while still swinging 3-7x inside a stall.
+LEG_PROBE_FILES = int(os.environ.get("KGFORGE_LEG_PROBE_FILES", "20000"))
+LEG_PROBE_CORPUS = f"/tmp/kgforge_leg_probe_corpus_{LEG_PROBE_FILES}"
 # sf1 leg (VERDICT r4 #6): a 10x replica of the three tables the headline
 # scan-bound queries read, staged under /tmp — same-artifact evidence that
 # the per-query times scale with data, not fixed cost.
@@ -127,14 +136,16 @@ def new_session(cores: int):
 def run_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     """Each headline query twice: (warm, cold) second/first-run timings."""
     from kgforge.queries import REGISTRY
+    from kgforge.queries.core import DEMOTED
 
+    lookup = {**REGISTRY, **DEMOTED}  # q41/q55 are bench-only since r6
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         times = []
         for _ in range(2):
             t0 = time.time()
-            df = REGISTRY[name].fn(spark, SF_DIR)
+            df = lookup[name].fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             times.append(round(time.time() - t0, 3))
         cold[name], warm[name] = times[0], times[1]
@@ -148,7 +159,15 @@ SF1_HEADLINE = ["q01_pricing_summary", "q22_minhash_lsh", "q24_simhash",
                 # the co-purchase graph keeps its node set while edge
                 # multiplicity (hub degree) grows 10x — the skew-stress
                 # direction for the pregel join
-                "q88_pagerank"]
+                "q88_pagerank",
+                # shuffle-heavy class (VERDICT r5 #7): the first six are
+                # scan/join dominated; these three cover multi-shuffle
+                # aggregation at 10x — TF-IDF (two chained groupBys + a
+                # data-sized equi-join), duplicated-window ratio (distinct-
+                # shingle explode -> hot-set join), and the north-rule
+                # scorecard DAG (two window+agg shuffles over events)
+                "q57_tfidf_top_terms", "q72_duplicated_window_ratio",
+                "q92b_vendor_scorecards_regex"]
 
 
 def stage_sf1(spark) -> None:
@@ -161,17 +180,22 @@ def stage_sf1(spark) -> None:
     spurious cross-replica near-dup pairs (a naive text copy would hand
     LSH O(replicas^2) candidate pairs per doc — a quadratically distorted
     workload, not a 10x scan). Replica 0 keeps the original rows."""
-    if os.path.exists(f"{SF1_DIR}/documents.parquet/_SUCCESS"):
-        return
     import pyspark.sql.functions as F
 
-    log(f"staging sf1 ({SF1_REPLICAS}x) tables at {SF1_DIR}")
     shift = 10**9
+    # events joined the staged set in r6 (q92b's input): per-table
+    # _SUCCESS checks let an sf1 dir staged by an earlier session gain
+    # just the new table. user_id shifts too, so the 10x replica carries
+    # 10x the scorecard channels (not 10x-deep hot channels).
     for tbl, key_cols in (
         ("lineitem", ["l_orderkey"]),
         ("orders", ["o_orderkey"]),
         ("documents", ["doc_id"]),
+        ("events", ["event_id", "user_id"]),
     ):
+        if os.path.exists(f"{SF1_DIR}/{tbl}.parquet/_SUCCESS"):
+            continue
+        log(f"staging sf1 ({SF1_REPLICAS}x) {tbl} at {SF1_DIR}")
         base = spark.read.parquet(f"{SF_DIR}/{tbl}.parquet")
         reps = spark.range(SF1_REPLICAS).select(F.col("id").alias("_rep"))
         df = base.crossJoin(F.broadcast(reps))
@@ -330,9 +354,14 @@ class Leg:
 
     def __init__(self, cores: int, corpus: str):
         self.cores = cores
+        probe_args = (
+            ["--probe-corpus", LEG_PROBE_CORPUS]
+            if os.path.exists(f"{LEG_PROBE_CORPUS}/_SUCCESS")
+            else []
+        )
         self.proc = subprocess.Popen(
             [sys.executable, "-m", "kgforge.jobs.bench_leg_server",
-             "--cores", str(cores), "--corpus", corpus],
+             "--cores", str(cores), "--corpus", corpus] + probe_args,
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -345,6 +374,13 @@ class Leg:
         self.proc.stdin.write("RUN\n")
         self.proc.stdin.flush()
         return json.loads(self.proc.stdout.readline())
+
+    def probe(self) -> float:
+        """Fixed 1/16-corpus extraction pass in this leg's JVM — the
+        Spark-shaped stall covariate (VERDICT r5 #2)."""
+        self.proc.stdin.write("PROBE\n")
+        self.proc.stdin.flush()
+        return json.loads(self.proc.stdout.readline())["probe_sec"]
 
     def close(self):
         try:
@@ -501,6 +537,12 @@ class PairSchedule:
         self.probes: list[float] = []
         self.cov_eff: list[float] = []  # per-round mem-scan scaling eff
         self.cov_rates: list[list[float]] = []
+        # per-leg Spark-shaped stall probes (VERDICT r5 #2): pre + post
+        # around each trial in the leg's own JVM; gating uses the max
+        self.lo_probe: list[float] = []  # max(pre, post) per round
+        self.hi_probe: list[float] = []
+        self.lo_probe_pp: list[list[float]] = []  # [pre, post] per round
+        self.hi_probe_pp: list[list[float]] = []
 
     def round(self):
         if len(self.lo_t) == self.restart_after:
@@ -516,16 +558,31 @@ class PairSchedule:
         # the whole session. r3 normalized at session level while storms
         # are round-level; this closes that mismatch.
         cov = mem_bandwidth_probe(self.lo, self.hi, dur=1.5)
+        # probe immediately before AND after each leg's trial, inside that
+        # leg's JVM: r5's unexplained sub-0.7 rounds had NORMAL engine-free
+        # covariates (cov_eff 0.97-1.06), so the stall was visible only to
+        # Spark-shaped work — this pins which leg ate it, in-artifact. The
+        # gate uses max(pre, post) so a stall beginning mid-trial flags
+        # too (the pre-only KG gate missed one in the first v6 session).
+        pa = self.lo_leg.probe()
         a = self.lo_leg.run()
+        pa2 = self.lo_leg.probe()
+        pb = self.hi_leg.probe()
         b = self.hi_leg.run()
+        pb2 = self.hi_leg.probe()
         self.probes.append(probe)
         self.cov_eff.append(cov["efficiency"])
         self.cov_rates.append(cov["rates_gbps"])
+        self.lo_probe.append(max(pa, pa2))
+        self.hi_probe.append(max(pb, pb2))
+        self.lo_probe_pp.append([pa, pa2])
+        self.hi_probe_pp.append([pb, pb2])
         self.lo_t.append(a["sec"])
         self.hi_t.append(b["sec"])
         log(f"  scaling round {len(self.lo_t)} [{self.lo}v{self.hi}]: "
             f"lo {a['sec']}s  hi {b['sec']}s  (weather {probe} GB/s, "
-            f"cov eff {cov['efficiency']})")
+            f"cov eff {cov['efficiency']}, leg probes "
+            f"{pa}/{pa2} | {pb}/{pb2}s)")
 
     def close(self):
         self.lo_leg.close()
@@ -574,6 +631,25 @@ class PairSchedule:
             round(statistics.median(norm_rounds), 3) if norm_rounds else None
         )
 
+        # probe-gated estimator (VERDICT r5 #2): keep only rounds where
+        # BOTH legs' Spark-shaped stall probes sat within 1.5x their own
+        # session minimum — the same gate rule the KG headline now uses.
+        # Rounds a leg probe flags as stalled are excluded from this
+        # estimator but stay in the artifact, so every sub-0.8 paired raw
+        # either survives the gate (engine-attributable) or carries the
+        # probe that explains it.
+        lo_floor = min(self.lo_probe) if self.lo_probe else 0.0
+        hi_floor = min(self.hi_probe) if self.hi_probe else 0.0
+        probe_clean = [
+            i for i in range(len(lo_t))
+            if self.lo_probe[i] <= 1.5 * lo_floor
+            and self.hi_probe[i] <= 1.5 * hi_floor
+        ] if self.lo_probe else list(range(len(lo_t)))
+        eff_probe_gated = (
+            round(statistics.median(paired[i] for i in probe_clean), 3)
+            if probe_clean else None
+        )
+
         ceiling = host_ceiling_probe(lo, hi)
         mem_ceiling = mem_bandwidth_probe(lo, hi)
         eff = round(eff_raw, 3)
@@ -596,6 +672,12 @@ class PairSchedule:
             "paired_raw_per_round": paired_raw,
             "covariate_eff_per_round": self.cov_eff,
             "covariate_rates_per_round": self.cov_rates,
+            "leg_probe_sec": {"lo": self.lo_probe, "hi": self.hi_probe},
+            "leg_probe_pre_post": {
+                "lo": self.lo_probe_pp, "hi": self.hi_probe_pp
+            },
+            "probe_clean_rounds": probe_clean,
+            "efficiency_probe_gated": eff_probe_gated,
             "norm_per_round": norm_rounds,
             "efficiency_normalized_per_round": eff_norm_per_round,
             "weather_probe_gbps": self.probes,
@@ -666,6 +748,7 @@ def main() -> int:
     for path, n, parts in (
         (CORPUS, KG_FILES, 64),
         (PROBE_CORPUS, PROBE_FILES, 64),
+        (LEG_PROBE_CORPUS, LEG_PROBE_FILES, 32),
         (SCALE_CORPUS, SCALE_FILES, 512),
         (SAT_CORPUS, SAT_FILES, 512),
     ):
@@ -731,9 +814,53 @@ def main() -> int:
                 runs.append(r)
         else:
             log(f"  budget: shedding KG run {i} ({round(time_left())}s left)")
+
+    # Probe gate (VERDICT r5 #1): the stall probe stops being an after-the-
+    # fact annotation and GATES the headline. A run whose in-JVM probe ran
+    # >1.5x the session's minimum probe demonstrably executed inside a
+    # stall window; it is excluded from the headline median (but stays in
+    # the artifact), and the budget buys a replacement run when it can.
+    def _probe_clean(rs: list[dict]) -> list[int]:
+        # gate on max(pre, post): a stall overlapping either end of the
+        # run flags it (a pre-only gate missed a mid-run-onset stall in
+        # the first v6 session — rate halved under a clean 1.24 s pre)
+        def pm(r):
+            vals = [r.get("stall_probe_sec"), r.get("stall_probe_post_sec")]
+            vals = [v for v in vals if v]
+            return max(vals) if vals else None
+
+        ps = [pm(r) for r in rs]
+        usable = [p for p in ps if p]
+        if not usable:
+            return list(range(len(rs)))
+        floor = min(usable)
+        return [i for i, p in enumerate(ps) if p and p <= 1.5 * floor]
+
+    retries = 0
+    while retries < 2:
+        clean = _probe_clean(runs)
+        if len(clean) == len(runs) or len(clean) >= 3:
+            break
+        if time_left() < run1_sec * 1.5 + 90:
+            log(f"  budget: cannot replace stall-flagged KG run "
+                f"({round(time_left())}s left)")
+            break
+        log(f"  KG probe gate: {len(runs) - len(clean)}/{len(runs)} runs "
+            "stall-flagged; buying a replacement run")
+        kg_weather.append(weather_probe())
+        r = run_full_kg(
+            CPUS, timeout_sec=max(240.0, min(900.0, time_left() - 60))
+        )
+        if r is None:
+            break
+        runs.append(r)
+        retries += 1
+
+    clean = _probe_clean(runs)
     run_rates = [r["triples_per_sec"] for r in runs]
     run_probes = [r.get("stall_probe_sec") for r in runs]
-    kg_median = statistics.median(run_rates)
+    run_probes_post = [r.get("stall_probe_post_sec") for r in runs]
+    kg_median = statistics.median([run_rates[i] for i in clean])
     # keep the detail block of the median-closest run (exact median run
     # for odd n), but the headline VALUE is the median itself.
     # NOTE: `full` aliases one element of `runs`, so every per-run number
@@ -741,11 +868,16 @@ def main() -> int:
     # from r["triples_per_sec"] after this overwrite corrupted the
     # median-closest run's stall-normalized rate whenever n was even
     # (code-review r5).
-    full = min(runs, key=lambda r: abs(r["triples_per_sec"] - kg_median))
+    full = min(
+        (runs[i] for i in clean),
+        key=lambda r: abs(r["triples_per_sec"] - kg_median),
+    )
     full["triples_per_sec"] = round(kg_median, 1)
     full["runs_triples_per_sec"] = run_rates
     full["runs_weather_gbps"] = kg_weather
     full["runs_stall_probe_sec"] = run_probes
+    full["runs_stall_probe_post_sec"] = run_probes_post
+    full["runs_probe_clean"] = clean
     # stall-normalized rates: rate_i * (probe_i / best_probe). If run i ran
     # inside a stall that slowed the fixed probe 2x, its normalized rate
     # credits the slowdown to the host — attributable INSIDE the artifact.
@@ -759,7 +891,19 @@ def main() -> int:
         full["stall_normalized_median"] = round(statistics.median(
             [x for x in full["runs_stall_normalized"] if x]
         ), 1)
-    full["headline_rule"] = f"median_of_{len(runs)}"
+        # Attribution only, NOT a headline (VERDICT r5 #8): fitting the 27
+        # archived (probe, rate) pairs gives rate ~ probe^-0.40 with
+        # R^2=0.29 (residual ratios 0.51-1.94x) — the linear rate*(p/min)
+        # rule assumes exponent -1 and over-corrects ~2.5x. The probe now
+        # GATES the median (headline_rule) instead of scaling it; the
+        # fitted relation lives in BENCH/BASELINE.md §"stall probe".
+        full["stall_normalized_note"] = (
+            "overcorrects: fitted rate~probe^-0.40 (R2=0.29, n=27); "
+            "headline uses probe GATING, not normalization"
+        )
+    full["headline_rule"] = (
+        f"probe_gated_median_{len(clean)}_of_{len(runs)}"
+    )
     log(f"  {full}")
 
     # sf1 leg (VERDICT r4 #6): 10x-data warm timings for the scan-bound
@@ -849,8 +993,11 @@ def main() -> int:
             # of paired_raw_i / same-round mem-covariate eff_i; the full
             # per-round arrays live in the artifact
             "eff_norm_round": pair["efficiency_normalized_per_round"],
+            "eff_probe_gated": pair["efficiency_probe_gated"],
+            "n_probe_clean": len(pair["probe_clean_rounds"]),
             "paired_raw": pair["paired_raw_per_round"],
             "cov_eff": pair["covariate_eff_per_round"],
+            "leg_probes": pair["leg_probe_sec"],
         }
 
     out = {
@@ -860,7 +1007,7 @@ def main() -> int:
         "kg_runs": full["runs_triples_per_sec"],
         "kg_rule": full["headline_rule"],
         "kg_stall_probe_sec": full["runs_stall_probe_sec"],
-        "kg_stall_norm_median": full.get("stall_normalized_median"),
+        "kg_probe_clean": clean,  # gate indices; norm dropped (r5 #8 fit)
         "queries": queries,
         "queries_weather_gbps": queries_weather,
         "queries_sf1": queries_sf1 or "shed",
@@ -885,14 +1032,14 @@ def main() -> int:
     # parsed-nothing failure after all measurements succeeded). Drop the
     # bulkiest optional fields one at a time until the line fits; the full
     # artifact always has everything.
-    for victim in ("queries_sf1", "queries", "paired_raw", "cov_eff",
-                   "longitudinal", "kg_runs"):
+    for victim in ("queries_sf1", "queries", "leg_probes", "paired_raw",
+                   "cov_eff", "longitudinal", "kg_runs"):
         line = json.dumps(out, separators=(",", ":"))
         if len(line) < 1900:
             break
         if victim in ("queries", "queries_sf1"):
             out[victim] = "see_artifact"
-        elif victim in ("paired_raw", "cov_eff"):
+        elif victim in ("leg_probes", "paired_raw", "cov_eff"):
             for p in ("primary", "saturated"):
                 out["scaling"][p].pop(victim, None)
         else:

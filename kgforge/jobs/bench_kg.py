@@ -105,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
 
     probe_sec = None
     probe_fps = None
+    probe_src = None
     if args.probe_corpus:
         from kgforge.extract import extract_mentions, with_clean
 
@@ -137,6 +138,21 @@ def main(argv: list[str] | None = None) -> int:
     t_graph = time.time() - t1
     total = time.time() - t0
 
+    # POST-run probe (protocol v6): the pre-run probe misses a stall that
+    # BEGINS mid-run (observed r6: rate crushed 2x while the pre-probe read
+    # a clean 1.24 s). The gate in bench.py uses max(pre, post), so a stall
+    # window overlapping either end of the run flags it; only a stall
+    # strictly inside the run's interior remains invisible.
+    probe_post_sec = None
+    if probe_src is not None:
+        from kgforge.extract import extract_mentions, with_clean
+
+        t0p = time.time()
+        extract_mentions(with_clean(probe_src)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        probe_post_sec = round(time.time() - t0p, 3)
+
     print(
         json.dumps(
             {
@@ -149,6 +165,7 @@ def main(argv: list[str] | None = None) -> int:
                 "triples_per_sec": round(n_triples / total, 1),
                 "files_per_sec_extract": round(n_files / t_extract, 1),
                 "stall_probe_sec": probe_sec,
+                "stall_probe_post_sec": probe_post_sec,
                 "stall_probe_files_per_sec": probe_fps,
             }
         )

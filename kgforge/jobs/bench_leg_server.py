@@ -24,6 +24,17 @@ def main(argv=None) -> int:
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--task-cpus", type=int, default=2)
     ap.add_argument(
+        "--probe-corpus",
+        default=None,
+        help="Small dedicated corpus for the PROBE command. Without it the "
+        "probe falls back to a 1/16 row filter over the main corpus — "
+        "which still scans every split, so at a 1-slot leg the probe "
+        "costs ~2/3 of a full run in task-wave overhead alone (measured "
+        "r6: 30s probe vs 46s run at local[2]). A 20k-file 32-part "
+        "corpus keeps the probe a few seconds at every leg width while "
+        "still swinging 3-7x inside a stall window.",
+    )
+    ap.add_argument(
         "--max-partition-bytes",
         default="131072",
         help="Scan split size. The corpus parquet files are ~115 KB each; "
@@ -59,6 +70,26 @@ def main(argv=None) -> int:
         ).save()
         return time.time() - t0
 
+    # Leg stall probe (VERDICT r5 #2): a fixed 1/16-of-corpus extraction
+    # pass in THIS JVM at THIS parallelism. r5's two unexplained sub-0.7
+    # primary rounds had normal engine-free covariates — whatever stalled
+    # the lo leg was visible only to Spark-shaped work inside the leg's
+    # own JVM/worker placement, which is exactly what this job measures
+    # (the same reasoning as bench_kg's stall probe, applied per leg).
+    if args.probe_corpus:
+        probe_src = spark.read.parquet(args.probe_corpus)
+    else:
+        from pyspark.sql import functions as F
+
+        probe_src = source.filter(F.xxhash64("path") % 16 == 0)
+
+    def probe_pass() -> float:
+        t0 = time.time()
+        extract_mentions(with_clean(probe_src)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
     # warmup pass: python-worker start, codegen JIT, page cache — untimed
     warm = one_pass()
     n_splits = extract_mentions(with_clean(source)).rdd.getNumPartitions()
@@ -67,7 +98,13 @@ def main(argv=None) -> int:
                       "warmup_sec": round(warm, 2)}), flush=True)
 
     for line in sys.stdin:
-        if line.strip() != "RUN":
+        cmd = line.strip()
+        if cmd == "PROBE":
+            print(json.dumps({"cores": args.cores,
+                              "probe_sec": round(probe_pass(), 3)}),
+                  flush=True)
+            continue
+        if cmd != "RUN":
             break
         sec = one_pass()
         print(json.dumps({"cores": args.cores, "sec": round(sec, 3),

@@ -54,6 +54,17 @@ def main(argv: list[str] | None = None) -> int:
         "top N to <output>/salience (deterministic, bit-identical at any "
         "parallelism)",
     )
+    ap.add_argument(
+        "--related", action="append", default=[], metavar="TYPE:SURFACE",
+        help="seed entity for personalized PageRank over the co-mention "
+        "graph (repeatable); any alias of an entity works — surfaces are "
+        "normalized and resolved through the canon_map. Writes the top "
+        "--related-top to <output>/related (deterministic)",
+    )
+    ap.add_argument(
+        "--related-top", type=int, default=25, metavar="N",
+        help="row count for --related (default 25)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(master=args.master, app_name="kgforge-run-kg")
@@ -84,14 +95,18 @@ def main(argv: list[str] | None = None) -> int:
         "triples_per_sec": round(n / dt, 1),
         "output": args.output,
     }
-    if args.salience:
-        from kgforge.pipeline import KGPaths, entity_salience
+    paths = None
+    if args.salience or args.related:
+        from kgforge.pipeline import KGPaths
 
         paths = KGPaths(
             mentions=f"{args.output}/mentions",
             triples=args.triples_table or f"{args.output}/triples",
             lineage=f"{args.output}/lineage",
         )
+    if args.salience:
+        from kgforge.pipeline import entity_salience
+
         sal = entity_salience(spark, paths, n_top=args.salience)
         # top-N is bounded (<= N rows): coalesce(1) keeps the artifact one
         # deterministic file; the heavy DAG above it stays distributed.
@@ -109,6 +124,31 @@ def main(argv: list[str] | None = None) -> int:
             "n_rows": written.count(),
             "top": [
                 {"entity": r.entity, "rank_scaled": r.rank_scaled}
+                for r in top
+            ],
+        }
+    if args.related:
+        from kgforge.pipeline import related_entities
+
+        rel = related_entities(
+            spark, paths, seeds=args.related, n_top=args.related_top
+        )
+        rel.coalesce(1).write.mode("overwrite").parquet(
+            f"{args.output}/related"
+        )
+        written = spark.read.parquet(f"{args.output}/related")
+        top = (
+            written.orderBy(F.col("rank_scaled").desc(), "entity")
+            .limit(3)
+            .collect()
+        )
+        out["related"] = {
+            "seeds": args.related,
+            "n_rows": written.count(),
+            "n_seed_rows": written.filter(F.col("is_seed")).count(),
+            "top": [
+                {"entity": r.entity, "rank_scaled": r.rank_scaled,
+                 "is_seed": r.is_seed}
                 for r in top
             ],
         }

@@ -197,14 +197,25 @@ def entity_salience(
     node count.
     """
     from kgforge.graph import pagerank_scaled
-    from kgforge.triples import entity_key
 
-    mentions = spark.read.parquet(paths.mentions)
-    # Reuse run_graph's committed canon_map when it was built from EXACTLY
-    # this mention-table state (same fingerprint discipline as the graph
-    # phase's resume short-circuit); otherwise rebuild. Avoids a second
-    # LSH + CC pass in the common run_kg --salience flow.
-    canon_map = None
+    pairs, _ = _entity_comention_pairs(spark, paths, link_threshold)
+    r = pagerank_scaled(pairs, iters=iters)
+    return (
+        r.select(
+            F.col("node").alias("entity"),
+            F.col("d").alias("degree"),
+            F.col("r").alias("rank_scaled"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), "entity")
+        .limit(n_top)
+    )
+
+
+def _fresh_canon_map(spark, paths: KGPaths, link_threshold: float):
+    """Reuse run_graph's committed canon_map when it was built from EXACTLY
+    this mention-table state (same fingerprint discipline as the graph
+    phase's resume short-circuit); otherwise rebuild. Avoids a second
+    LSH + CC pass in the common run_kg --salience/--related flow."""
     try:
         lin = spark.read.parquet(paths.lineage)
         fresh = (
@@ -215,11 +226,25 @@ def entity_salience(
             > 0
         )
         if fresh:
-            canon_map = spark.read.parquet(_canon_map_path(paths))
+            return spark.read.parquet(_canon_map_path(paths))
     except Exception:
-        canon_map = None
-    if canon_map is None:
-        canon_map = build_canon_map(mentions, link_threshold=link_threshold)
+        pass
+    return build_canon_map(
+        spark.read.parquet(paths.mentions), link_threshold=link_threshold
+    )
+
+
+def _entity_comention_pairs(spark, paths: KGPaths, link_threshold: float):
+    """(pairs, canon_map): distinct undirected co-mention edges between
+    canonical entities — the shared graph both entity_salience (global
+    PageRank) and related_entities (personalized PageRank) rank over.
+    One distinct + one co-partitioned self-equi-join on the doc key
+    (bounded entities per document, so linear like q81's co-purchase
+    build)."""
+    from kgforge.triples import entity_key
+
+    mentions = spark.read.parquet(paths.mentions)
+    canon_map = _fresh_canon_map(spark, paths, link_threshold)
     doc_ent = (
         mentions.join(canon_map, ["entity_type", "norm_surface"])
         .select(
@@ -240,12 +265,66 @@ def entity_salience(
         .select(F.col("a.entity").alias("p1"), F.col("b.entity").alias("p2"))
         .distinct()
     )
-    r = pagerank_scaled(pairs, iters=iters)
+    return pairs, canon_map
+
+
+def related_entities(
+    spark: SparkSession,
+    paths: KGPaths,
+    seeds: list[str],
+    iters: int = 4,
+    n_top: int = 25,
+    link_threshold: float = link.DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Seed-relative entity ranking: personalized PageRank over the same
+    canonical co-mention graph entity_salience uses, with teleport mass
+    returning to the SEED entities — "what is most related to these
+    entities in this KG", the query a KG consumer actually asks
+    (kgforge/graph.py::personalized_pagerank_scaled; driver-gated as q99).
+
+    ``seeds`` are '<TYPE>:<surface>' strings. Each surface is normalized
+    exactly like mention surfaces (lower + whitespace collapse) and
+    resolved THROUGH the canon_map, so any alias of an entity works as a
+    seed — the same entity-boundary decision the triple table made.
+    Unresolvable seeds are ignored; no resolvable seed -> empty result.
+
+    Returns [entity, degree, rank_scaled, is_seed], rank-descending with
+    a total tie-break, deterministic at any parallelism (scaled-integer
+    arithmetic end to end).
+    """
+    from kgforge.graph import personalized_pagerank_scaled
+    from kgforge.triples import entity_key
+
+    pairs, canon_map = _entity_comention_pairs(spark, paths, link_threshold)
+    raw = spark.createDataFrame([(s,) for s in seeds], "raw string")
+    parsed = raw.select(
+        F.substring_index("raw", ":", 1).alias("entity_type"),
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.expr("substring(raw, instr(raw, ':') + 1)")),
+                r"\s+",
+                " ",
+            )
+        ).alias("norm_surface"),
+    )
+    seed_nodes = (
+        parsed.join(canon_map, ["entity_type", "norm_surface"])
+        .select(
+            entity_key(F.col("entity_type"), F.col("canon_surface")).alias(
+                "node"
+            )
+        )
+        .distinct()
+    )
+    r = personalized_pagerank_scaled(pairs, seed_nodes, iters=iters)
+    seed_marked = seed_nodes.withColumn("is_seed", F.lit(True))
     return (
-        r.select(
+        r.join(seed_marked, "node", "left")
+        .select(
             F.col("node").alias("entity"),
             F.col("d").alias("degree"),
             F.col("r").alias("rank_scaled"),
+            F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
         )
         .orderBy(F.col("rank_scaled").desc(), "entity")
         .limit(n_top)

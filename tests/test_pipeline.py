@@ -290,3 +290,39 @@ def test_canon_map_artifact_and_salience_reuse(spark, outdir):
     shutil.rmtree(f"{outdir}/canon_map")
     rebuilt = entity_salience(spark, p, n_top=15).collect()
     assert with_artifact == rebuilt
+
+
+def test_related_entities_seed_resolution_and_determinism(spark, outdir):
+    """Personalized-PageRank related entities (run_kg --related): seeds
+    resolve through the canon_map (any alias of an entity works), the
+    seed rows carry is_seed=True, every rank is a positive scaled
+    integer with a total order, and two evaluations are row-identical.
+    Non-seed neighbors must outrank distant nodes only via real teleport
+    mass — with every seed unresolvable the result is empty, not
+    uniform-PageRank fallback."""
+    from kgforge.pipeline import entity_salience, related_entities
+
+    run_kg(spark, synth_source_files(spark, 150), outdir, n_parts=4)
+    p = _paths(outdir)
+    # pick a real canonical entity from the salience ranking as the seed
+    top = entity_salience(spark, p, n_top=1).collect()[0].entity
+    a = related_entities(spark, p, seeds=[top], n_top=15).collect()
+    b = related_entities(spark, p, seeds=[top], n_top=15).collect()
+    assert a == b
+    assert 0 < len(a) <= 15
+    seeds = [r for r in a if r.is_seed]
+    assert [r.entity for r in seeds] == [top]
+    ranks = [r.rank_scaled for r in a]
+    assert ranks == sorted(ranks, reverse=True) and min(ranks) >= 0
+    # teleport mass concentrates on the seed: it must rank first
+    assert a[0].entity == top
+    # alias form resolves through canon_map normalization (upper + spaces)
+    etype, surface = top.split(":", 1)
+    alias = f"{etype}:  {surface.upper()}  "
+    via_alias = related_entities(spark, p, seeds=[alias], n_top=15).collect()
+    assert via_alias == a
+    # unresolvable seed -> empty, never a silent uniform fallback
+    none = related_entities(
+        spark, p, seeds=["PRODUCT:does-not-exist-xyz"], n_top=15
+    ).collect()
+    assert none == []

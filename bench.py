@@ -788,6 +788,29 @@ def main() -> int:
     spark.stop()
     queries_weather.append(weather_probe())
 
+    # sf1 leg (VERDICT r4 #6, widened r5 #7): 10x-data warm timings. KG
+    # runs outrank it in shed priority (r4 #1a), so its default slot is
+    # AFTER them — but a storm session's KG runs (111-248 s each observed
+    # r6) can eat the whole remainder and shed sf1 entirely. When the
+    # budget is still comfortable here (calm session: ~3 KG runs cost
+    # <450 s incl. probes, sf1 ~150-250 s), run sf1 FIRST so both fit;
+    # when tight, fall back to the post-KG slot and let it shed.
+    queries_sf1: dict[str, float] = {}
+    queries_sf1_cold: dict[str, float] = {}
+    sf1_weather: list[float] = []
+
+    def run_sf1_leg():
+        sf1_weather.append(weather_probe())
+        s = new_session(CPUS)
+        log(f"sf1 leg: {SF1_HEADLINE} at {SF1_DIR} on local[{CPUS}]")
+        w, c = run_sf1_queries(s, time_left)
+        s.stop()
+        sf1_weather.append(weather_probe())
+        return w, c
+
+    if time_left() > 1250:
+        queries_sf1, queries_sf1_cold = run_sf1_leg()
+
     # KG headline = MEDIAN of 3 runs, stall-probed (protocol v5).
     # Priority order (VERDICT r4 #1a): the three KG runs come BEFORE every
     # optional scaling round — r4's schedule interleaved optional rounds
@@ -906,20 +929,13 @@ def main() -> int:
     )
     log(f"  {full}")
 
-    # sf1 leg (VERDICT r4 #6): 10x-data warm timings for the scan-bound
-    # headline queries; optional — shed before any KG run, after none.
-    queries_sf1: dict[str, float] = {}
-    queries_sf1_cold: dict[str, float] = {}
-    sf1_weather: list[float] = []
-    if time_left() > 420:
-        sf1_weather.append(weather_probe())
-        spark = new_session(CPUS)
-        log(f"sf1 leg: {SF1_HEADLINE} at {SF1_DIR} on local[{CPUS}]")
-        queries_sf1, queries_sf1_cold = run_sf1_queries(spark, time_left)
-        spark.stop()
-        sf1_weather.append(weather_probe())
-    else:
-        log(f"  budget: shedding sf1 leg ({round(time_left())}s left)")
+    # post-KG sf1 slot (the default when the pre-KG budget check was not
+    # comfortable); skipped if the pre-KG slot already ran it
+    if not queries_sf1:
+        if time_left() > 420:
+            queries_sf1, queries_sf1_cold = run_sf1_leg()
+        else:
+            log(f"  budget: shedding sf1 leg ({round(time_left())}s left)")
 
     for _ in range(max(0, ROUNDS - 3)):
         if time_left() < 240:

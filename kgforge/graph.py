@@ -267,32 +267,37 @@ def k_core(pairs: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     fixpoint test). Rounds are bounded by max_rounds (real graphs peel in
     a handful of rounds; the pathological chain case is capped, matching
     canon.connected_components' bounded-rounds contract).
+
+    Each round's restricted edge list is localCheckpoint'ed: persist
+    caches rows but leaves the logical plan intact, and a round's plan
+    references the previous round's THREE times (edge side + two
+    semi-join sides), so a 10-round peel grows the plan tree ~3^10-fold —
+    it survived a quiet JVM but OOMed plan construction inside a session
+    that had run 90 other queries (r6 full-sweep finding; same class as
+    bfs_hops' per-hop cut). Dropping the previous round's Python
+    reference lets the ContextCleaner free its checkpoint blocks, so the
+    2-generation storage bound still holds without explicit unpersist.
     """
-    edges = symmetrize(pairs).persist()
+    edges = symmetrize(pairs).localCheckpoint(eager=True)
     n_prev = -1
-    prev_edges = prev_keep = None
     for _ in range(max_rounds):
         deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+        # keep's plan is shallow (one agg off checkpointed edges), so a
+        # plain persist is safe here — it is read 3x per round (count +
+        # both semi-join sides) and released once the next edge
+        # generation has materialized
         keep = deg.filter(F.col("d") >= k).select(
             F.col("src").alias("node")
         ).persist()
         n_keep = keep.count()  # bounded driver-side scalar (fixpoint test)
-        # this count materialized the CURRENT edges; the previous round's
-        # cached state can no longer be read by anything — release it so
-        # a deep peel (rounds up to max_rounds) holds 2 generations, not
-        # all of them, in executor storage
-        if prev_edges is not None:
-            prev_edges.unpersist()
-        if prev_keep is not None:
-            prev_keep.unpersist()
         if n_keep == 0:
             return keep.select(
                 "node", F.lit(0).cast("long").alias("d")
             ).limit(0)
         if n_keep == n_prev:
+            keep.unpersist()
             break
         n_prev = n_keep
-        prev_edges, prev_keep = edges, keep
         edges = (
             edges.join(keep, edges["src"] == keep["node"], "left_semi")
             .join(
@@ -300,11 +305,62 @@ def k_core(pairs: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
                 F.col("dst") == F.col("dst_keep"),
                 "left_semi",
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
+        keep.unpersist()
     return edges.groupBy("src").agg(F.count("*").alias("d")).select(
         F.col("src").alias("node"), "d"
     )
+
+
+def label_propagation(
+    pairs: DataFrame, max_rounds: int = 10
+) -> DataFrame:
+    """Community detection by synchronous label propagation, made fully
+    deterministic: every node starts labeled with its own id; each round
+    every node adopts its neighbors' most frequent label, ties broken by
+    the SMALLEST label. Returns DataFrame[node, label] at the fixpoint
+    (or after ``max_rounds`` — synchronous LPA can oscillate on bipartite
+    structures, so the bound is part of the contract, like k_core's).
+
+    Determinism: the (count DESC, label ASC) argmax is a total order, so
+    the result is independent of partitioning and engine — unlike classic
+    LPA, whose random tie-breaks give a different clustering per run.
+
+    Scale shape: per round one co-partitioned equi-join (edges x labels)
+    + one partial-agg count shuffle + one max_by agg — the same
+    pregel-on-DataFrames shape as pagerank_scaled; labels are
+    localCheckpoint'ed per round (plan growth is linear, but the cut
+    keeps failure recovery bounded and matches bfs_hops' discipline).
+    The driver sees one changed-label count per round (fixpoint test).
+    """
+    edges = symmetrize(pairs).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neigh = edges.join(
+            labels, edges["dst"] == labels["node"]
+        ).select(F.col("src").alias("node"), "label")
+        cnt = neigh.groupBy("node", "label").agg(F.count("*").alias("c"))
+        new = cnt.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("label")
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
 
 
 def triangle_stats(pairs: DataFrame) -> DataFrame:

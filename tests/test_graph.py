@@ -315,3 +315,79 @@ def test_personalized_pagerank_no_graph_seeds_empty(spark):
         _pairs_df(spark, pairs), _sources_df(spark, [99])
     )
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# label propagation (deterministic LPA, added r6)
+# ---------------------------------------------------------------------------
+
+
+def _lpa_mirror(pairs, max_rounds=10):
+    """Plain-Python mirror of graph.label_propagation: synchronous update,
+    most-frequent neighbor label, ties -> smallest label."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(max_rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = collections.Counter(labels[m] for m in nbrs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            new[n] = best
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python_mirror(spark):
+    """Bit-exact vs the mirror on a seeded pseudo-random graph — the
+    deterministic tie-break makes LPA reproducible across engines."""
+    from kgforge.graph import label_propagation
+
+    pairs = _random_pairs(n_nodes=30, n_edges=55)
+    got = {
+        r.node: r.label
+        for r in label_propagation(_pairs_df(spark, pairs)).collect()
+    }
+    assert got == _lpa_mirror(pairs)
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Two K4 cliques joined by one bridge edge: each clique must settle
+    on ONE internal label, and the two communities stay distinct."""
+    from kgforge.graph import label_propagation
+
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    pairs = k4a + k4b + [(3, 10)]
+    got = {
+        r.node: r.label
+        for r in label_propagation(_pairs_df(spark, pairs)).collect()
+    }
+    assert got == _lpa_mirror(pairs)
+    la = {got[n] for n in range(4)}
+    lb = {got[n] for n in range(10, 14)}
+    assert len(la) == 1 and len(lb) == 1 and la != lb
+
+
+def test_label_propagation_parallelism_invariant(spark):
+    """Same labels at 1 partition and 16 partitions (the determinism
+    claim is about partitioning, not just seeds)."""
+    from kgforge.graph import label_propagation
+
+    pairs = _random_pairs(n_nodes=24, n_edges=40)
+    base = _pairs_df(spark, pairs)
+    one = {
+        r.node: r.label
+        for r in label_propagation(base.coalesce(1)).collect()
+    }
+    many = {
+        r.node: r.label
+        for r in label_propagation(base.repartition(16)).collect()
+    }
+    assert one == many == _lpa_mirror(pairs)

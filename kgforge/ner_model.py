@@ -99,11 +99,19 @@ class DeterministicTagger:
         self._VOCAB = 4096
         self._E = rng.uniform(-1, 1, (self._VOCAB, self.D)).astype(np.float32)
 
-    def logits(self, batch_tokens: list[list[str]]) -> list[np.ndarray]:
+    def _flat_logits(
+        self, batch_tokens: list[list[str]]
+    ) -> tuple[np.ndarray, list[int]]:
+        """One [total_tokens, n_tags] logit matrix for the whole Arrow
+        batch + per-row lengths. r7 (guide §4.2): the per-row base-matrix
+        loop (an np.full + a per-token scatter PER ROW) was the hottest
+        line of the extraction worker — it is now one batch-wide np.full
+        + one fancy-index scatter + one add; values are bit-identical
+        (same float32 terms, same order)."""
         lengths = [len(t) for t in batch_tokens]
         total = sum(lengths)
         if total == 0:
-            return [np.zeros((0, len(TAGS)), dtype=np.float32) for _ in batch_tokens]
+            return np.zeros((0, len(TAGS)), dtype=np.float32), lengths
         # one batched forward for the whole Arrow batch
         idx = np.fromiter(
             (
@@ -119,21 +127,40 @@ class DeterministicTagger:
             h = np.tanh(h @ w)
         net = 2.0 * np.tanh(h @ self._P)  # bounded |net| <= 2
 
+        tag_ids = np.fromiter(
+            (
+                TAG_TO_ID[t]
+                for tokens in batch_tokens
+                for t in tag_tokens(tokens)
+            ),
+            dtype=np.int64,
+            count=total,
+        )
+        base = np.full((total, len(TAGS)), -8.0, dtype=np.float32)
+        base[np.arange(total), tag_ids] = 8.0
+        return base + net, lengths
+
+    def logits(self, batch_tokens: list[list[str]]) -> list[np.ndarray]:
+        mat, lengths = self._flat_logits(batch_tokens)
         out = []
         i = 0
-        for tokens, n in zip(batch_tokens, lengths):
-            base = np.full((n, len(TAGS)), -8.0, dtype=np.float32)
-            for j, t in enumerate(tag_tokens(tokens)):
-                base[j, TAG_TO_ID[t]] = 8.0
-            out.append(base + net[i : i + n])
+        for n in lengths:
+            out.append(mat[i : i + n])
             i += n
         return out
 
     def predict_tags(self, batch_tokens: list[list[str]]) -> list[list[str]]:
-        """argmax decode (N7 de-padding is a no-op for the stand-in)."""
-        return [
-            [TAGS[j] for j in m.argmax(axis=1)] for m in self.logits(batch_tokens)
-        ]
+        """argmax decode (N7 de-padding is a no-op for the stand-in).
+        r7: one batch-wide argmax + tag-name gather instead of a per-row
+        argmax — same ties-to-first semantics, identical tags."""
+        mat, lengths = self._flat_logits(batch_tokens)
+        names = np.asarray(TAGS, dtype=object)[mat.argmax(axis=1)].tolist()
+        out = []
+        i = 0
+        for n in lengths:
+            out.append(names[i : i + n])
+            i += n
+        return out
 
 
 _MODEL: DeterministicTagger | None = None

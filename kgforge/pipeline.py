@@ -162,10 +162,17 @@ def build_canon_map(
     canonicalization) and entity_salience (graph vertex identity), so both
     agree on entity boundaries. Runs over DISTINCT (entity_type,
     norm_surface) — see run_graph's scale note."""
+    # r7: persist the distinct-surface relation — it is referenced by the
+    # linker (numeric + textual branches), the CC active/isolated split,
+    # and canonical_surfaces (members + canon), so without the cache the
+    # full mention-table aggregation re-ran up to ~5x per graph build
+    # (guide §5 "worth it when a DataFrame is reused"). Small by
+    # construction (distinct (type, surface) forms, not mentions).
     surfaces = (
         mentions.groupBy("entity_type", "norm_surface")
         .agg(F.min("mention_id").alias("mention_id"))
         .select("mention_id", "entity_type", "norm_surface")
+        .persist()
     )
     edges = link.typed_link_surfaces(surfaces, threshold=link_threshold)
     assign = canon.connected_components(surfaces.select("mention_id"), edges)

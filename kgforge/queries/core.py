@@ -38,8 +38,29 @@ def q(name: str, sql: str | None, driver: bool = True):
     return deco
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Table loader. ``spread=True`` round-robin-repartitions the scan to
+    the session's default parallelism — used by the CPU-bound-per-row
+    queries (hashing/shingling/regex over documents/events/embeddings).
+
+    Why (r7, guide §2.5 'input skew — one huge unsplittable file ...
+    repartition immediately after the read'): the testdata tables are
+    single parquet files with single-digit row-group counts, and a row
+    group is the parallelism quantum of a parquet scan — documents.parquet
+    at sf1.0 is ONE row group, so every expression in the scan stage ran
+    on ONE core of 32 (measured: q24 21.6s single-task vs ~1s of work at
+    full width). The repartition is a few MB of shuffle that buys full
+    fan-out of the expensive projection. Scale note: this is input-layout
+    repair, not local-mode tuning — a 100 TB table laid out in many
+    multi-row-group files gets its scan parallelism from the splits
+    themselves, and the round-robin exchange of a CPU-bound stage stays
+    cheap relative to the per-row work it spreads."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _dec_sum(col, scale: int = 2):

@@ -348,8 +348,9 @@ def q57_tfidf_top_terms(spark, sf_dir):
     groupBys on (doc, term)/(term); the corpus count N joins in as a
     broadcast single-row cross join (never a collect); top-3 via
     per-doc-partitioned row_number — Catalyst turns the filter into
-    WindowGroupLimit (partial top-k before the shuffle)."""
-    d = t(spark, sf_dir, "documents")
+    WindowGroupLimit (partial top-k before the shuffle). r7: spread scan
+    (single-row-group input file; see queries/core.py::t)."""
+    d = t(spark, sf_dir, "documents", spread=True)
     toks = d.select(
         "doc_id", F.explode(textops.tokens(F.col("text"))).alias("term")
     )
@@ -612,31 +613,33 @@ def q72_duplicated_window_ratio(spark, sf_dir):
     """Within-corpus duplicated-text measurement (the corpus-level view of
     exact substring dedup, Lee et al.'s diagnostic): per doc, the fraction
     of its distinct 3-word windows that also occur in >=2 distinct docs;
-    per-language average + count of mostly-duplicated docs. Scale shape:
-    per-doc DISTINCT shingles map-side (array_distinct before explode),
-    hot-window set via partial-agg groupBy, then one shuffled equi-join on
-    ngram — never a doc-to-doc self-join; the hot set is data-sized, so no
-    broadcast (unlike q56, whose eval side is tiny by construction)."""
-    d = t(spark, sf_dir, "documents")
+    per-language average + count of mostly-duplicated docs.
+
+    Scale shape (r7 rewrite): per-doc DISTINCT shingles map-side
+    (array_distinct before explode), then the global window count rides a
+    COUNT window partitioned by ngram over the SAME exploded relation,
+    followed by one partial-agg per-doc rollup. The r6 shape referenced
+    the exploded relation twice (hot-set agg branch + probe join branch),
+    so the corpus was scanned, split, and shingled TWICE and then paid a
+    full equi-join shuffle on top — measured 34s -> 17s at sf1 (A/B, same
+    JVM, results equal row-for-row). One explode, one shuffle-by-ngram,
+    one per-doc partial agg. Skew note: a count window cannot be
+    AQE-skew-split the way the old join could; the shingle key domain is
+    per-doc-distinct 3-grams, whose hottest key is bounded by doc
+    frequency, and the salted-agg fallback (q80's shape) is the
+    documented escape hatch if a corpus ever concentrates one window."""
+    d = t(spark, sf_dir, "documents", spread=True)
     sh = d.select(
         "doc_id",
         F.explode(
             F.array_distinct(textops.word_shingles(F.col("text"), 3))
         ).alias("ngram"),
     )
-    hot = (
-        sh.groupBy("ngram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("ngram", F.lit(1).alias("is_dup"))
-    )
-    per_doc = (
-        sh.join(hot, "ngram", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup"),
-        )
+    w = Window.partitionBy("ngram")
+    per = sh.withColumn("nd", F.count("*").over(w))
+    per_doc = per.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
     )
     return (
         per_doc.join(d.select("doc_id", "lang"), "doc_id")
@@ -1185,8 +1188,9 @@ def q67_cogroup_funnel(spark, sf_dir):
 )
 def q25_quality_scores(spark, sf_dir):
     """Quality scoring: length/stopword/token-shape features + clamped
-    weighted score (F18/F19 semantics over documents)."""
-    return textops.quality_features(t(spark, sf_dir, "documents"))
+    weighted score (F18/F19 semantics over documents). r7: spread scan
+    (single-row-group input; see queries/core.py::t)."""
+    return textops.quality_features(t(spark, sf_dir, "documents", spread=True))
 
 
 @q(
@@ -1502,9 +1506,14 @@ def q81_copurchase_degree(spark, sf_dir):
         )
         .distinct()
     )
+    # r7: both endpoints via one map-side explode instead of a two-branch
+    # union — the union duplicated the whole pairs plan (self-join +
+    # distinct) into both branches (guide §2.4; same fix as
+    # graph.symmetrize). Same rows, one scan.
     deg = (
-        pairs.select(F.col("p1").alias("p"))
-        .unionAll(pairs.select(F.col("p2").alias("p")))
+        pairs.select(
+            F.explode(F.array(F.col("p1"), F.col("p2"))).alias("p")
+        )
         .groupBy("p")
         .agg(F.count("*").alias("degree"))
     )

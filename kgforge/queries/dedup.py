@@ -130,17 +130,25 @@ _SHINGLE_SQL = """
 )
 def q22_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup blocking: shingle -> banded min-hash ->
-    bucket stats (same structure as kgforge.link at scale)."""
-    d = t(spark, sf_dir, "documents")
+    bucket stats (same structure as kgforge.link at scale).
+
+    r7: ONE pass over documents — the shingle array is materialized once
+    as a projection and both band signatures are computed from it in the
+    same select, then posexplode'd to (band, sig) rows. The old
+    per-band-union shape scanned, split, and shingled every document once
+    PER BAND (the shingle build — split + sequence + slice + concat_ws —
+    dominated the query, and Catalyst cannot CSE it across the union's
+    branches). Results identical: same (band, sig) multiset."""
+    d = t(spark, sf_dir, "documents", spread=True)
     sh = textops.word_shingles(F.col("text"), 3)
-    sigs = None
-    for band in (0, 1):
-        s = d.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            textops.minhash_band_sig(sh, band).alias("sig"),
-        )
-        sigs = s if sigs is None else sigs.unionByName(s)
+    sigs = d.select(sh.alias("_sh")).select(
+        F.posexplode(
+            F.array(
+                textops.minhash_band_sig(F.col("_sh"), 0),
+                textops.minhash_band_sig(F.col("_sh"), 1),
+            )
+        ).alias("band", "sig")
+    )
     buckets = sigs.groupBy("band", "sig").agg(F.count("*").alias("n"))
     return buckets.groupBy("band").agg(
         F.count("*").alias("n_buckets"),
@@ -249,10 +257,16 @@ def _simhash_sql() -> str:
     """,
 )
 def q24_simhash(spark, sf_dir):
-    """SimHash near-dup fingerprint (16-bit), histogram by signature."""
-    d = t(spark, sf_dir, "documents")
+    """SimHash near-dup fingerprint (16-bit), histogram by signature.
+
+    r7: runs through ``with_simhash16_md5`` — one md5 per token with the
+    digit parities packed into a materialized per-token mask, then 16
+    shift/mask folds — instead of ``simhash16``'s inline-md5 folds that
+    hashed every token 16x. Bit-identical (same oracle SQL, hash-green);
+    measured 22.4s -> see OPTIMIZATION_r07.md at sf1."""
+    d = t(spark, sf_dir, "documents", spread=True)
     return (
-        d.select(textops.simhash16(F.col("text")).alias("simhash"))
+        textops.with_simhash16_md5(d.select("text"), "text")
         .groupBy("simhash")
         .agg(F.count("*").alias("n"))
     )
@@ -266,7 +280,7 @@ def q41_simhash64_fast(spark, sf_dir):
     warm (r3 bench artifact): md5 16-bit (q24) 4.76s, xxhash64 16-bit
     (q55) 1.39s (3.4x), xxhash64 64-bit (this) 4.18s — 4x the width for
     3x the 16-bit-fast time, still beating md5 at a quarter the width."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     return (
         textops.with_simhash_fast(d, "text")
         .groupBy("simhash")
@@ -283,7 +297,7 @@ def q55_simhash16_fast(spark, sf_dir):
     not a like-for-like hash comparison. All three run adjacently in
     bench.py's headline so the A/B lands inside one weather window of one
     artifact. Rows-only (DuckDB has no xxhash64). Deterministic."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     return (
         textops.with_simhash_fast(d, "text", bits=16)
         .groupBy("simhash")

@@ -421,7 +421,7 @@ def q89_triangle_count(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # q97-q99 (new r6, VERDICT r5 #3/#4): hash-gated BFS, k-core, personalized
 # PageRank — the three graph capabilities that were pytest-only in r5 get
-# full driver gates, on the rotation slots freed by demoting q41/q55/q95
+# full driver gates, on the rotation slots freed by demoting q41/q55/q46
 # to bench-only (see queries/core.py DEMOTED).
 # ---------------------------------------------------------------------------
 
@@ -517,6 +517,9 @@ def q97_bfs_hops(spark, sf_dir):
 
     pairs = _copurchase2_pairs(spark, sf_dir).persist()
     dist = bfs_hops(pairs, _graph_seeds(pairs), max_hops=_BFS_MAX_HOPS)
+    # dist is a union of eagerly checkpointed frontiers — pairs is fully
+    # consumed, so release it (VERDICT r6 "what's wrong" #1)
+    pairs.unpersist()
     return dist.select(
         "node", F.col("dist").cast("int").alias("dist")
     ).orderBy("node")
@@ -658,6 +661,9 @@ def q99_personalized_pagerank(spark, sf_dir):
     r = personalized_pagerank_scaled(
         pairs, _graph_seeds(pairs), iters=_PR_ITERS
     )
+    # r is eagerly checkpointed inside personalized_pagerank_scaled —
+    # pairs is fully consumed, so release it (VERDICT r6 #1)
+    pairs.unpersist()
     return r.select(
         "node", F.col("d").alias("degree"), F.col("r").alias("rank_scaled")
     ).orderBy(F.col("rank_scaled").desc(), "node").limit(30)

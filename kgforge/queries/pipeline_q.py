@@ -428,6 +428,9 @@ def q92b_vendor_scorecards_regex(spark, sf_dir):
     = digit runs in the props JSON, PRODUCT surface = event_type."""
     from kgforge.scorecard import lending_scores, vendor_metrics
 
+    # r7: measured A/B — spread=True LOSES here warm (2.6s vs 4.0s at
+    # sf1): the scorecard DAG is shuffle-dominated (two window+agg
+    # shuffles), so the extra exchange outweighs fanning out the regex
     ev = t(spark, sf_dir, "events")
     posts = ev.select(
         F.concat(F.lit("vendor_"), (F.col("user_id") % 20).cast("string")).alias("channel"),

@@ -203,8 +203,10 @@ def q30_lsh_buckets(spark, sf_dir):
 )
 def q31_centroid_cosine(spark, sf_dir):
     """Per-label centroid + average member cosine (cluster-coherence agg,
-    A14 analogue of interpret.py:682-703)."""
-    e = t(spark, sf_dir, "embeddings")
+    A14 analogue of interpret.py:682-703). r7: spread scan — the
+    posexplode + decimal partial agg are CPU-bound and the input file is
+    single-row-group (see queries/core.py::t)."""
+    e = t(spark, sf_dir, "embeddings", spread=True)
     flat = e.select(
         "label", F.posexplode(F.col("embedding")).alias("pos0", "val")
     ).withColumn("pos", F.col("pos0") + 1)

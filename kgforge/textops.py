@@ -147,10 +147,15 @@ def simhash16(col: Column) -> Column:
     """16-bit SimHash over tokens: bit b set iff sum(+/-1 per token) > 0,
     where a token votes +1 on bit b when hex digit b of md5(token) is odd.
 
-    Expressed as 16 aggregate folds with md5 inline. Measured alternative
-    (hoisting md5 into a per-row array) is 3x SLOWER at sf0.1 — Catalyst
-    does not CSE across aggregate lambdas, so the hoist pays 16 array
-    allocations per row while inline md5 stays registers-only in codegen.
+    Teaching/Column form — 16 aggregate folds with md5 inline, so every
+    token is hashed 16 times. The production path is
+    ``with_simhash16_md5`` (r7): same result, ONE md5 per token with the
+    16 digit parities packed into a long that is materialized as a
+    projected array column, then 16 shift/mask folds — the
+    ``with_simhash_fast`` shape. The hoist must be a MATERIALIZED
+    projection (a bound attribute), not a shared subexpression: Catalyst
+    does not CSE across aggregate lambdas, which is why an earlier
+    hoisted-md5-array variant inside one Column expression was 3x slower.
     IN-list digit parity is bit-identical in DuckDB.
     """
     toks = tokens(col)
@@ -173,6 +178,53 @@ def simhash16(col: Column) -> Column:
     for e in bits[1:]:
         out = out + e
     return out
+
+
+def with_simhash16_md5(
+    df: DataFrame, text_col: str = "text", out: str = "simhash"
+) -> DataFrame:
+    """Production form of ``simhash16`` — bit-identical result (oracle-
+    hash-checked as q24), ONE md5 per token instead of 16.
+
+    Shape (r7, guide §1.2 step 2 'per-task work'): a nested transform
+    first hashes each token once (the inner ``md5`` binds to the outer
+    lambda's VARIABLE, so the two substring/conv references below are
+    free variable reads, not re-evaluations — higher-order-function
+    lambdas are interpreted with no common-subexpression elimination, so
+    any expression referenced twice inside one is computed twice); the
+    outer lambda packs the 16 hex-digit nibbles into one long
+    (``shiftleft(conv(hex[1:8]), 32) | conv(hex[9:16])`` — bit ops, no
+    ANSI overflow), materialized as an array projection. The 16 aggregate
+    folds then test the nibble LOW bit at position 4*(15-b) — digit b+1
+    of the md5 is odd iff that bit is set — so each fold is shift/mask
+    over a precomputed long, the ``with_simhash_fast`` shape."""
+    toks = tokens(F.col(text_col))
+    packed = F.transform(
+        F.transform(toks, lambda tk: F.md5(tk)),
+        lambda h: F.shiftleft(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), 32
+        ).bitwiseOR(F.conv(F.substring(h, 9, 8), 16, 10).cast("long")),
+    )
+    hashed = df.withColumn("_sh16_m", packed)
+
+    def make_step(b: int):
+        pos = 4 * (15 - b)  # low bit of hex digit b+1 within the packed long
+
+        def step(acc, m):
+            return acc + F.when(
+                F.shiftright(m, pos).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return step
+
+    bits = []
+    for b in range(16):
+        vote = F.aggregate(F.col("_sh16_m"), F.lit(0), make_step(b))
+        bits.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for e in bits[1:]:
+        sig = sig + e
+    return hashed.withColumn(out, sig).drop("_sh16_m")
 
 
 def minhash_band_sig_fast(
@@ -212,27 +264,78 @@ def with_simhash_fast(
     lambdas, so the hash array must be a bound attribute from a previous
     projection or every fold re-hashes every token (the same trap the
     hoisted-md5 variant hit in round 1).
+
+    r7 lane packing (guide §1.2 step 2): each fold accumulates several
+    bit-counters in 16-bit lanes of one long, so the array is traversed
+    bits/lanes times instead of ``bits`` times — and the per-element cost
+    of a fold is interpreted-expression evaluation (higher-order
+    functions have no codegen), so the lambda body is kept to THREE nodes
+    when the layout allows: for bits a multiple of 16, fold f counts bits
+    {f, f+16, f+32, f+48} and the increment for all lanes at once is
+    ``(h >> f) & 0x0001000100010001`` — one shift, one mask, one add.
+    For narrower signatures (q55's 16-bit) the four lanes are assembled
+    per-lane (bits f, f+4, f+8, f+12). vote_b > 0 becomes
+    2*count_b > n_tokens, bit-identical to the naive folds (A/B-checked).
+    Exactness bound: a 16-bit lane counter is exact for documents under
+    65,536 tokens; a corpus with longer documents shards them upstream
+    (pack_sequences' budget) or widens to 32-bit lanes — same shape.
     """
     hashed = df.withColumn(
         "_simhash_h", F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     )
-
-    def make_step(b: int):
-        def step(acc, h):
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-
-        return step
-
+    n_toks = F.size(F.col("_simhash_h"))
     sig = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(F.col("_simhash_h"), F.lit(0), make_step(b))
-        sig = sig.bitwiseOR(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
+
+    if bits % 16 == 0 and bits >= 32:
+        lanes = bits // 16
+        mask = sum(1 << (16 * j) for j in range(lanes))
+
+        def make_step_masked(f: int):
+            def step(acc, h):
+                return acc + F.shiftright(h, f).bitwiseAND(F.lit(mask))
+
+            return step
+
+        for _f in range(16):
+            acc = F.aggregate(
+                F.col("_simhash_h"), F.lit(0).cast("long"), make_step_masked(_f)
             )
-        )
+            for j in range(lanes):
+                b = _f + 16 * j
+                cnt = F.shiftright(acc, 16 * j).bitwiseAND(F.lit(0xFFFF))
+                sig = sig.bitwiseOR(
+                    F.when(
+                        cnt * 2 > n_toks, F.shiftleft(F.lit(1).cast("long"), b)
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+    else:
+        n_folds = max(1, bits // 4)
+
+        def make_step(idxs: list[int]):
+            def step(acc, h):
+                inc = None
+                for j, b in enumerate(idxs):
+                    term = F.shiftleft(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long"),
+                        16 * j,
+                    )
+                    inc = term if inc is None else inc + term
+                return acc + inc
+
+            return step
+
+        for f in range(n_folds):
+            idxs = [f + j * n_folds for j in range(4) if f + j * n_folds < bits]
+            acc = F.aggregate(
+                F.col("_simhash_h"), F.lit(0).cast("long"), make_step(idxs)
+            )
+            for j, b in enumerate(idxs):
+                cnt = F.shiftright(acc, 16 * j).bitwiseAND(F.lit(0xFFFF))
+                sig = sig.bitwiseOR(
+                    F.when(
+                        cnt * 2 > n_toks, F.shiftleft(F.lit(1).cast("long"), b)
+                    ).otherwise(F.lit(0).cast("long"))
+                )
     return hashed.withColumn(out, sig).drop("_simhash_h")
 
 

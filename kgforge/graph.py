@@ -460,15 +460,34 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
             )
         ),
     ).select(F.col("wa.dst").alias("v1"), F.col("wb.dst").alias("v2"))
-    closes = wedges.join(
-        o, (wedges["v1"] == o["src"]) & (wedges["v2"] == o["dst"])
+    # r7: ONE pass over the wedge relation — the old shape referenced
+    # wedges in two branches (count + inner-join closure), so the wedge
+    # self-join (the expensive step) was built twice. Oriented edges are
+    # unique (one row per undirected edge), so a LEFT join preserves the
+    # wedge multiset and counts wedges and closed wedges (= triangles) in
+    # the same aggregation. Results identical.
+    oe = o.select(
+        F.col("src").alias("_cs"), F.col("dst").alias("_cd"),
+        F.lit(1).alias("_closed"),
+    )
+    wedge_tri = (
+        wedges.join(
+            oe, (wedges["v1"] == oe["_cs"]) & (wedges["v2"] == oe["_cd"]),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_wedges"),
+            F.count("_closed").alias("n_triangles"),
+        )
     )
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = pairs.agg(F.count("*").alias("n_edges"))
-    n_wedges = wedges.agg(F.count("*").alias("n_wedges"))
-    n_tri = closes.agg(F.count("*").alias("n_triangles"))
-    return (
+    out = (
         n_nodes.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(n_wedges))
-        .crossJoin(F.broadcast(n_tri))
+        .crossJoin(F.broadcast(wedge_tri))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+        .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
+    o.unpersist()
+    return out

@@ -55,15 +55,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument(
         "--max-partition-bytes",
-        default="131072",
+        default="524288",
         help="Scan split size for the tiny-file bench corpus. The default "
         "128m+4m-openCost coalescing collapses the 64-file/30 MB corpus "
         "into ~8-16 splits — as little as ONE task wave at local[32], so "
         "one co-tenant straggler sets the extraction wall clock (the "
-        "round-4 scaling-leg finding). 128k yields ~4 splits per file = "
-        "many waves, which amortizes stragglers in storm windows; a calm-"
-        "window A/B measured parity (11.4k vs 11.6k triples/s), so the "
-        "variance reduction is free.",
+        "round-4 scaling-leg finding). r4-r6 ran 128k (~4 splits/file, "
+        "~13 waves); r7 re-measured: 512k = 1 split/file = 64 tasks = 4 "
+        "waves at 16 slots keeps the straggler amortization while "
+        "dropping ~200 tasks of scheduling overhead (warm A/B same "
+        "session: 4.6s vs 3.6s extraction pass; 2m was worse again).",
     )
     args = ap.parse_args(argv)
 

@@ -510,7 +510,9 @@ def q93_doc_neardup_dedup(spark, sf_dir):
     candidate pairs -> connected components (transitive closure) -> keep
     min doc_id per cluster. The corpus-curation composition of kgforge.link
     + kgforge.canon; rows-only (iterative CC not SQL-expressible)."""
-    d = t(spark, sf_dir, "documents")
+    # r7: spread scan — the shingle+minhash signature projection is
+    # CPU-bound and the input file is single-row-group (queries/core.py::t)
+    d = t(spark, sf_dir, "documents", spread=True)
     assign = doc_neardup_components(d)
     survivors = assign.groupBy("component_id").agg(
         F.min("mention_id").alias("kept_doc_id"),
@@ -553,7 +555,7 @@ def q66_leakage_free_split(spark, sf_dir):
     machinery) -> split-by-cluster-hash -> per-split doc and cluster
     counts. Rows-only (iterative CC not SQL-expressible); the splitting
     invariant is pytest-asserted instead."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)  # r7: see q93
     s = leakage_free_split(d)
     return s.groupBy("split").agg(
         F.count("*").alias("n_docs"),

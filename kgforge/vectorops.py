@@ -136,6 +136,29 @@ def band_bucket_sql(
     return " + ".join(bits)
 
 
+def _dec_vec(vec: Column) -> Column:
+    """round(x,6)::decimal(18,6) per element — the shared exact-decimal
+    form every hyperplane dot consumes. r7: materialized ONCE per vector
+    (a projected column) instead of being recomputed inside every one of
+    the bands*rows dot products; higher-order functions are interpreted
+    with no CSE, so the per-element round+cast was paid 32x per vector."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double"), 6).cast("decimal(18,6)")
+    )
+
+
+def _dec_dot_pm_pre(dv: Column, signs: list[int]) -> Column:
+    """_dec_dot_pm over an ALREADY-decimal vector (see _dec_vec): same
+    signed sum, same fixed-width accumulator, bit-identical result."""
+    s = F.array(*[F.lit(v) for v in signs])
+    prods = F.zip_with(dv, s, lambda x, sg: x * sg)
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, v: (acc + v).cast("decimal(28,6)"),
+    )
+
+
 def with_band_buckets(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -143,17 +166,31 @@ def with_band_buckets(
     rows: int = EMB_ROWS,
     dim: int = EMB_DIM,
 ) -> DataFrame:
-    """Explode each vector into (band, bucket) rows — the LSH blocking key."""
+    """Explode each vector into (band, bucket) rows — the LSH blocking key.
+
+    r7: the decimal-rounded vector is materialized once (``_dec_vec``) and
+    shared by all bands*rows sign tests — same buckets, ~(1/rows*bands) of
+    the per-element round/cast work."""
+    hashed = df.withColumn("_dv", _dec_vec(F.col(vec_col)))
     pairs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                band_bucket(F.col(vec_col), b, rows, dim).alias("bucket"),
+                sum(
+                    (
+                        F.when(
+                            _dec_dot_pm_pre(F.col("_dv"), pm_signs(b, j, dim)) > 0,
+                            F.lit(1 << j),
+                        ).otherwise(F.lit(0))
+                        for j in range(rows)
+                    ),
+                    F.lit(0),
+                ).alias("bucket"),
             )
             for b in range(bands)
         ]
     )
-    return df.withColumn("_bb", F.explode(pairs)).select(
+    return hashed.withColumn("_bb", F.explode(pairs)).select(
         *df.columns, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
     )
 
@@ -234,17 +271,51 @@ def with_band_buckets_multiprobe(
     """Explode each vector into (band, bucket) rows with BOTH the exact and
     the flipped-lowest-margin probe bucket per band (2*bands rows/vector).
     Join key and shuffle shape are identical to with_band_buckets; only the
-    candidate set widens."""
+    candidate set widens.
+
+    r7 (measured 47s -> see OPTIMIZATION_r07.md at sf0.1): the old shape
+    built ``band_bucket_probe_pair``'s struct twice per band (once per
+    extracted field) and every margin dot product was referenced by the
+    bucket bits, the |margin| min, AND the flip chain — with no CSE inside
+    interpreted expressions each reference re-ran the 64-dim decimal
+    aggregate, ~6x over. Now: the decimal vector is materialized once
+    (``_dec_vec``), each band's 8 margin dots are materialized once as an
+    array column, and bucket/|margin|/flip only index that array. Same
+    dots, same tie-break order, bit-identical buckets (A/B-checked)."""
+    hashed = df.withColumn("_dv", _dec_vec(F.col(vec_col)))
+    for b in range(bands):
+        hashed = hashed.withColumn(
+            f"_mpd{b}",
+            F.array(
+                *[
+                    _dec_dot_pm_pre(F.col("_dv"), pm_signs(b, j, dim))
+                    for j in range(rows)
+                ]
+            ),
+        )
     entries = []
     for b in range(bands):
-        pair = band_bucket_probe_pair(F.col(vec_col), b, rows, dim)
+        dots = [F.col(f"_mpd{b}")[j] for j in range(rows)]
+        bucket = F.lit(0)
+        for j in range(rows):
+            bucket = bucket + F.when(dots[j] > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+        absd = [F.abs(d) for d in dots]
+        m = F.least(*absd)
+        flip = F.lit(0)
+        for j in reversed(range(rows)):  # earlier bits win ties (applied last)
+            flip = F.when(absd[j] == m, F.lit(1 << j)).otherwise(flip)
         entries.append(
-            F.struct(F.lit(b).alias("band"), pair["bucket"].alias("bucket"))
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
         )
         entries.append(
-            F.struct(F.lit(b).alias("band"), pair["probe"].alias("bucket"))
+            F.struct(
+                F.lit(b).alias("band"),
+                bucket.bitwiseXOR(flip).alias("bucket"),
+            )
         )
-    return df.withColumn("_bb", F.explode(F.array(*entries))).select(
+    return hashed.withColumn("_bb", F.explode(F.array(*entries))).select(
         *df.columns,
         F.col("_bb.band").alias("band"),
         F.col("_bb.bucket").alias("bucket"),

@@ -348,9 +348,11 @@ def q57_tfidf_top_terms(spark, sf_dir):
     groupBys on (doc, term)/(term); the corpus count N joins in as a
     broadcast single-row cross join (never a collect); top-3 via
     per-doc-partitioned row_number — Catalyst turns the filter into
-    WindowGroupLimit (partial top-k before the shuffle). r7: spread scan
-    (single-row-group input file; see queries/core.py::t)."""
-    d = t(spark, sf_dir, "documents", spread=True)
+    WindowGroupLimit (partial top-k before the shuffle). r7: spread was
+    A/B'd and REVERTED here — q57 is only driver-timed on the 10x staged
+    leg whose 32-file layout already fans out the scan, and there the
+    extra exchange lost (warm 6.9s plain vs 8.5s spread)."""
+    d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(textops.tokens(F.col("text"))).alias("term")
     )

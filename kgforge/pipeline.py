@@ -110,8 +110,24 @@ def run_extraction(
     written = spark.read.parquet(paths.mentions).filter(
         F.col("part_id").isin(part_ids)
     )
-    audit_mention_ids(written)
-    rows = lineage.lineage_rows(written, STAGE_MENTIONS, MENTION_CONTENT_COLS)
+    # r7 (guide §2.6 "overlap independent jobs"): the id-collision audit
+    # and the per-partition lineage aggregation are independent scans of
+    # the same committed parquet — run them as two concurrent jobs so the
+    # tail of one back-fills the other's idle cores (wall = max, not sum;
+    # each was ~2.5s at the 400k-file bench). Ordering contract preserved:
+    # lineage rows are only MATERIALIZED here; the append below still
+    # happens after the audit result is in, so a collision abort can never
+    # leave committed lineage behind.
+    from concurrent.futures import ThreadPoolExecutor
+
+    rows = lineage.lineage_rows(
+        written, STAGE_MENTIONS, MENTION_CONTENT_COLS
+    ).persist()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_audit = pool.submit(audit_mention_ids, written)
+        f_rows = pool.submit(rows.count)
+        f_rows.result()
+        f_audit.result()  # raises on collision BEFORE any lineage append
     # zero-mention partitions: emit count-0 rows via anti-join
     universe = spark.createDataFrame(
         [(int(p),) for p in part_ids], "part_id int"
@@ -127,6 +143,7 @@ def run_extraction(
         )
     )
     lineage.append_lineage(rows.unionByName(empty), paths.lineage)
+    rows.unpersist()
 
 
 STAGE_GRAPH_INPUT = "graph_input"

@@ -90,20 +90,29 @@ def q02_filter_project(spark, sf_dir):
     """,
 )
 def q03_top_order_per_customer(spark, sf_dir):
-    """A8: per-group arg-max via row_number window (top post semantics,
-    metrics_calculator.py:56)."""
+    """A8: per-group arg-max (top post semantics, metrics_calculator.py:56).
+
+    r7: hash-aggregated max(struct(price, -orderkey)) instead of the
+    row_number window — the window plan sorts the ENTIRE table twice
+    (WindowGroupLimit needs a sort below it on both the partial and final
+    sides), while the struct-max is a partial+final hash agg with no sort
+    at all. Identical rows (struct comparison = price desc, then min
+    orderkey via the negated key — the window's exact ordering; A/B
+    collect-compared at sf1, 149,993 rows equal; measured 1.6s -> 0.83s).
+    Oracle SQL unchanged."""
     o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    best = o.groupBy("o_custkey").agg(
+        F.max(
+            F.struct(
+                F.col("o_totalprice").alias("p"),
+                (-F.col("o_orderkey")).alias("nk"),
+            )
+        ).alias("m")
     )
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "o_custkey",
-            F.col("o_orderkey").alias("top_orderkey"),
-            F.col("o_totalprice").alias("top_totalprice"),
-        )
+    return best.select(
+        "o_custkey",
+        (-F.col("m.nk")).alias("top_orderkey"),
+        F.col("m.p").alias("top_totalprice"),
     )
 
 

@@ -15,7 +15,7 @@ reference config (config/config.py:14-19 shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgforge.extract import extract_mentions, with_clean
@@ -73,15 +73,26 @@ def vendor_metrics(posts: DataFrame, mentions: DataFrame) -> DataFrame:
         F.max("views").alias("max_views"),
     )
 
-    # A8: top post by views (row_number window, deterministic tiebreak)
-    w = Window.partitionBy("channel").orderBy(
-        F.col("views").desc(), F.col("message_id")
-    )
+    # A8: top post by views, deterministic tiebreak (min message_id).
+    # r7: hash-aggregated max(struct(views, -message_id)) instead of a
+    # row_number window — a handful of vendor channels means a handful of
+    # window partitions (one task each, full sort), while the struct-max
+    # partial-aggregates map-side with no sort; same rows (q03's argument).
     top = (
-        p.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("channel", F.col("message_id").alias("top_post_id"),
-                F.col("views").alias("top_post_views"))
+        p.groupBy("channel")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("views").alias("v"),
+                    (-F.col("message_id")).alias("nk"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "channel",
+            (-F.col("m.nk")).alias("top_post_id"),
+            F.col("m.v").alias("top_post_views"),
+        )
     )
 
     # A9: price stats over extracted PRICE mentions (F17 comma-strip cast;
